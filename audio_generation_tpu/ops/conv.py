@@ -1,0 +1,193 @@
+"""Causal 1-D convolution primitives, TPU-first.
+
+Layout convention: activations are (batch, length, channels) — channels-last so
+the channel dim rides the TPU lane dimension and convs lower onto the MXU as
+batched matmuls. Weights are (kernel, in_channels, out_channels) ("WIO").
+
+The *padding law* reproduces the reference's causal pad math exactly, which is
+the behavioral spec for streamability and the stride-480 shape contract
+(reference: networks/vae.py:32,39-43 for CausalConv1d; networks/vae.py:58-64
+for the transposed right-crop; networks/vae.py:77-89 for the
+upsample-then-same-conv variant; functional forms networks/wavelets.py:8-36):
+
+    left_pad  = dilation * (kernel - 1) - stride + 1
+    next_len  = (L - kernel + left_pad) / stride + 1
+    target    = (ceil(next_len) - 1) * stride + kernel - left_pad
+    right_pad = target - L            # "extra pad"
+
+which guarantees out_len == ceil(L / stride) for the blocks used by the codec,
+with output t depending only on inputs <= t*stride (strict causality).
+
+All lengths are static under jit, so the pad arithmetic runs at trace time and
+the padding is folded straight into `lax.conv_general_dilated` (no separate
+pad op for XLA to materialize).
+"""
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
+
+# Precision policy: f32 inputs get exact f32 convs (Precision.HIGHEST); for
+# MXU-rate compute, pass bfloat16 arrays explicitly (the model's
+# `compute_dtype` knob) rather than letting the backend silently round f32.
+PRECISION = jax.lax.Precision.HIGHEST
+
+
+def causal_pad_amounts(length: int, kernel_size: int, stride: int = 1, dilation: int = 1):
+    """The reference pad law (networks/vae.py:32,39-43). Returns (left, right)."""
+    pad = dilation * (kernel_size - 1) - stride + 1
+    next_length = (length - kernel_size + pad) / stride + 1
+    target_length = (math.ceil(next_length) - 1) * stride + kernel_size - pad
+    extra_pad = target_length - length
+    return pad, extra_pad
+
+
+def causal_conv1d_out_length(length: int, kernel_size: int, stride: int = 1, dilation: int = 1) -> int:
+    pad, extra = causal_pad_amounts(length, kernel_size, stride, dilation)
+    eff_k = dilation * (kernel_size - 1) + 1
+    return (length + pad + extra - eff_k) // stride + 1
+
+
+def causal_conv1d(x, w, b=None, *, stride: int = 1, dilation: int = 1, groups: int = 1):
+    """Causal conv. x: (B, L, Cin); w: (K, Cin//groups, Cout); out (B, ceil(L/s), Cout)."""
+    k = w.shape[0]
+    pad, extra = causal_pad_amounts(x.shape[1], k, stride, dilation)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(pad, extra)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        precision=PRECISION,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def causal_conv_transpose1d(x, w, b=None, *, stride: int = 1):
+    """Causal transposed conv: full ('VALID') transposed conv of length
+    (L-1)*stride + K, then crop `K - stride` samples off the right so the
+    output length is exactly L*stride and output t only sees inputs <= t//s
+    (reference: networks/vae.py:58-64)."""
+    k = w.shape[0]
+    # transpose_kernel=True interprets the kernel with I/O axes swapped, so
+    # swap here to keep the framework-wide (K, Cin, Cout) weight convention.
+    y = jax.lax.conv_transpose(
+        x,
+        w.swapaxes(1, 2),
+        strides=(stride,),
+        padding="VALID",
+        dimension_numbers=DIMENSION_NUMBERS,
+        transpose_kernel=True,  # torch ConvTranspose orientation: input i
+        # contributes w[j] to output i*stride + j (spreads forward in time)
+        precision=PRECISION,
+    )
+    right_crop = k - stride
+    if right_crop > 0:
+        y = y[:, : y.shape[1] - right_crop, :]
+    if b is not None:
+        y = y + b
+    return y
+
+
+def upsample_nearest(x, scale: int):
+    """Nearest-neighbor temporal upsampling on (B, L, C): each frame repeated
+    `scale` times (matches torch F.interpolate(mode='nearest') used at
+    networks/vae.py:87)."""
+    if scale == 1:
+        return x
+    b, l, c = x.shape
+    return jnp.broadcast_to(x[:, :, None, :], (b, l, scale, c)).reshape(b, l * scale, c)
+
+
+def same_conv1d(x, w, b=None, *, groups: int = 1):
+    """Stride-1 'same'-padded conv (symmetric pad; odd kernels only in the
+    codec). Reference: the post-upsample conv at networks/vae.py:78-83 and the
+    wavelet in/out convs at networks/wavelets.py:191-199."""
+    k = w.shape[0]
+    left = (k - 1) // 2
+    right = k - 1 - left
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(left, right)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=groups,
+        precision=PRECISION,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def causal_upsample_conv1d(x, w, b=None, *, stride: int = 1):
+    """Upsample-then-conv ("checkerboard-free") upsampler
+    (reference: networks/vae.py:66-89). NOTE: like the reference, the 'same'
+    conv after upsampling looks ahead (K-1)//2 upsampled samples — the
+    streaming runtime accounts for this lookahead explicitly."""
+    x = upsample_nearest(x, stride)
+    return same_conv1d(x, w, b)
+
+
+def conv2d_same(x, w, b=None, *, stride=(1, 1), padding=None):
+    """2-D conv on (B, H, W, C) with torch-style explicit symmetric padding.
+
+    Used by the STFT discriminators (reference: networks/discriminator.py:102-113,
+    151-169), whose torch convs use padding = (k-1)//2 per side (so even
+    kernels shrink by one, exactly like torch)."""
+    kh, kw = w.shape[0], w.shape[1]
+    if padding is None:
+        padding = ((kh - 1) // 2, (kw - 1) // 2)
+    ph, pw = padding
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=[(ph, ph), (pw, pw)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        precision=PRECISION,
+    )
+    if b is not None:
+        y = y + b
+    return y
+
+
+def avg_pool1d(x, kernel_size: int, stride: int, padding: int):
+    """torch-style AvgPool1d on (B, L, C): count_include_pad=True semantics
+    (reference: the MelGAN discriminator front pool,
+    networks/discriminator.py:32)."""
+    summed = jax.lax.reduce_window(
+        x,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1, kernel_size, 1),
+        window_strides=(1, stride, 1),
+        padding=[(0, 0), (padding, padding), (0, 0)],
+    )
+    return summed / kernel_size
+
+
+@partial(jax.jit, static_argnames=("window", "step"))
+def box_fold(y, window: int, step: int):
+    """Overlap-add box sum: out[w] = sum_{t<window} y[..., w*step + t].
+
+    This is the fixed-shape reformulation of the reference WaveletLayer's
+    `unfold(n_points, fold_dim).sum(-1)` overlap-add (networks/wavelets.py:226)
+    — a strided box-filter, lowered via `reduce_window` (fuses on TPU)."""
+    return jax.lax.reduce_window(
+        y,
+        0.0,
+        jax.lax.add,
+        window_dimensions=(1,) * (y.ndim - 1) + (window,),
+        window_strides=(1,) * (y.ndim - 1) + (step,),
+        padding="valid",
+    )

@@ -1,0 +1,215 @@
+"""RVQ: index determinism, residual algebra, EMA/SOM update laws, dropout."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_generation_tpu.models.quantizer import QuantizerState, ResidualQuantizer
+
+
+def make_q(**kw):
+    defaults = dict(
+        num_quantizers=4,
+        dim=8,
+        codebook_sizes=16,
+        quantizer_class="ema",
+        use_som=False,
+    )
+    defaults.update(kw)
+    return ResidualQuantizer(**defaults)
+
+
+def test_indices_deterministic_and_nearest(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(0))
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)), dtype=jnp.float32)
+    xq1, idx1, loss1, _ = q(state, x)
+    xq2, idx2, loss2, _ = q(state, x)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    assert idx1.shape == (2, 10, 4)  # (B, L, nq) — reference layout utils.py:249
+
+    # level-0 indices are true nearest neighbors (numpy check)
+    flat = np.asarray(x).reshape(-1, 8)
+    cb = np.asarray(state.codebooks[0])
+    d = ((flat[:, None] - cb[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(idx1)[..., 0].reshape(-1), d.argmin(-1))
+
+
+def test_residual_cascade_reduces_error(rng):
+    q = make_q(num_quantizers=8, codebook_sizes=64)
+    state = q.init_state(jax.random.key(1))
+    x = jnp.asarray(rng.normal(size=(1, 50, 8)), dtype=jnp.float32)
+    errs = []
+    for n in [1, 2, 4, 8]:
+        xq, _, _, _ = q(state, x, codebook_n=n)
+        errs.append(float(jnp.mean((x - xq) ** 2)))
+    assert errs[0] > errs[1] > errs[2] > errs[3]
+
+
+def test_quantized_equals_dequantized_indices(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(2))
+    x = jnp.asarray(rng.normal(size=(1, 6, 8)), dtype=jnp.float32)
+    xq, idx, _, _ = q(state, x)
+    recon = q.dequantize(state, idx)
+    np.testing.assert_allclose(np.asarray(xq), np.asarray(recon), rtol=1e-5, atol=1e-6)
+
+
+def test_codebook_dropout_masks_levels(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(3))
+    x = jnp.asarray(rng.normal(size=(1, 6, 8)), dtype=jnp.float32)
+    _, idx2, _, _ = q(state, x, codebook_n=2)
+    # inactive levels emit index 0
+    assert (np.asarray(idx2)[..., 2:] == 0).all()
+    # active levels match full run
+    _, idx4, _, _ = q(state, x, codebook_n=4)
+    np.testing.assert_array_equal(np.asarray(idx2)[..., :2], np.asarray(idx4)[..., :2])
+
+
+def test_ema_update_moves_codebook_toward_data(rng):
+    q = make_q(num_quantizers=1, ema_decay=0.5)
+    state = q.init_state(jax.random.key(4))
+    target = np.zeros((1, 64, 8), dtype=np.float32)
+    target[..., 0] = 3.0  # all data at one point
+    x = jnp.asarray(target)
+    for _ in range(30):
+        _, idx, _, state = q(state, x, update_codebook=True)
+    winner = int(np.asarray(idx)[0, 0, 0])
+    cb = np.asarray(state.codebooks[0, winner])
+    np.testing.assert_allclose(cb, target[0, 0], atol=1e-2)
+
+
+def test_no_update_without_flag(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(5))
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)), dtype=jnp.float32)
+    _, _, _, s2 = q(state, x, update_codebook=False)
+    np.testing.assert_array_equal(np.asarray(state.codebooks), np.asarray(s2.codebooks))
+    np.testing.assert_array_equal(np.asarray(state.ema_counts), np.asarray(s2.ema_counts))
+
+
+def test_base_kohonen_update(rng):
+    q = make_q(quantizer_class="base", num_quantizers=1, codebook_lr=1.0)
+    state = q.init_state(jax.random.key(6))
+    x = jnp.asarray(np.full((1, 32, 8), 2.0, dtype=np.float32))
+    _, idx, _, s2 = q(state, x, update_codebook=True)
+    winner = int(np.asarray(idx)[0, 0, 0])
+    # lr=1, identity kernel: winner jumps exactly to the batch mean
+    np.testing.assert_allclose(np.asarray(s2.codebooks[0, winner]), 2.0, atol=1e-5)
+
+
+def test_som_neighborhood_update_locality(rng):
+    """With a SOM 'hard' kernel, grid-neighbors of the winner move; far
+    entries don't (the SOM update-locality law)."""
+    q = make_q(
+        quantizer_class="base",
+        num_quantizers=1,
+        codebook_sizes=16,  # 4x4 grid
+        use_som=True,
+        som_kernel_type="hard",
+        vq_cutoff_freq=0.5,  # radius = 0.5 * 4 / 2 = 1 -> direct neighbors
+        codebook_lr=0.5,
+    )
+    state = q.init_state(jax.random.key(7))
+    x = jnp.asarray(np.full((1, 8, 8), 5.0, dtype=np.float32))
+    _, idx, _, s2 = q(state, x, update_codebook=True)
+    winner = int(np.asarray(idx)[0, 0, 0])
+    h, w = 4, 4
+    wi, wj = divmod(winner, w)
+    moved = np.abs(np.asarray(s2.codebooks[0]) - np.asarray(state.codebooks[0])).sum(-1) > 1e-6
+    for e in range(16):
+        ei, ej = divmod(e, w)
+        grid_d2 = (ei - wi) ** 2 + (ej - wj) ** 2
+        if grid_d2 <= 1:
+            assert moved[e], f"neighbor {e} should move"
+        elif grid_d2 > 2:
+            assert not moved[e], f"far entry {e} should not move"
+
+
+def test_cutoff_anneal_shrinks_neighborhood():
+    q = make_q(
+        quantizer_class="base",
+        num_quantizers=1,
+        codebook_sizes=16,
+        use_som=True,
+        som_kernel_type="hard",
+        vq_cutoff_freq=1.0,
+    )
+    state = q.init_state(jax.random.key(8))
+    K_wide = np.asarray(q._neighborhood_kernel(state.cutoff))
+    state = q.update_cutoff(state, ratio=0.05)
+    K_narrow = np.asarray(q._neighborhood_kernel(state.cutoff))
+    assert K_wide.sum() > K_narrow.sum()
+    np.testing.assert_array_equal(K_narrow[0], np.eye(16))  # annealed to plain VQ
+
+
+def test_stale_clusters(rng):
+    q = make_q(num_quantizers=2, codebook_sizes=8, stale_threshold=1e-2)
+    state = q.init_state(jax.random.key(9))
+    # force all usage to zero except through calls
+    state = state.replace(usage=jnp.zeros_like(state.usage))
+    assert q.get_stale_clusters(state) == [8, 8]
+    x = jnp.asarray(rng.normal(size=(4, 50, 8)), dtype=jnp.float32)
+    for _ in range(5):
+        _, _, _, state = q(state, x, update_codebook=True)
+    stale = q.get_stale_clusters(state)
+    assert all(s < 8 for s in stale)
+
+
+def test_commit_loss_gradient_flows_to_input(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(10))
+    x = jnp.asarray(rng.normal(size=(1, 5, 8)), dtype=jnp.float32)
+
+    def loss_fn(x):
+        xq, _, commit, _ = q(state, x)
+        return jnp.sum(xq**2) + commit
+
+    g = jax.grad(loss_fn)(x)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).sum() > 0
+
+
+def test_straight_through_passes_decoder_grad(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(11))
+    x = jnp.asarray(rng.normal(size=(1, 5, 8)), dtype=jnp.float32)
+
+    def loss_fn(x):
+        xq, _, _, _ = q(state, x)
+        return jnp.sum(xq * 3.0)
+
+    g = np.asarray(jax.grad(loss_fn)(x))
+    np.testing.assert_allclose(g, 3.0, rtol=1e-6)  # identity passthrough
+
+
+def test_per_level_codebook_sizes(rng):
+    q = make_q(num_quantizers=3, codebook_sizes=[16, 8, 4])
+    state = q.init_state(jax.random.key(12))
+    x = jnp.asarray(rng.normal(size=(2, 20, 8)), dtype=jnp.float32)
+    _, idx, _, _ = q(state, x)
+    idx = np.asarray(idx)
+    assert idx[..., 0].max() < 16
+    assert idx[..., 1].max() < 8
+    assert idx[..., 2].max() < 4
+
+
+def test_jit_with_traced_args(rng):
+    q = make_q()
+    state = q.init_state(jax.random.key(13))
+    x = jnp.asarray(rng.normal(size=(1, 10, 8)), dtype=jnp.float32)
+
+    @jax.jit
+    def step(state, x, n, upd):
+        return q(state, x, codebook_n=n, update_codebook=upd)
+
+    xq, idx, loss, s2 = step(state, x, jnp.int32(2), jnp.asarray(True))
+    xq2, idx2, loss2, _ = step(state, x, jnp.int32(4), jnp.asarray(False))
+    assert not np.array_equal(np.asarray(idx), np.asarray(idx2))
+
+
+def test_som_grid_property():
+    q = make_q(codebook_sizes=512, use_som=True)
+    h, w = q.som_grid
+    assert h * w == 512
