@@ -1,0 +1,259 @@
+"""CausalVQAE — the Soundstream-style codec generator.
+
+Reference: networks/vae.py:204-351. Encoder = Conv(k=7) stem ->
+n_blocks x CausalEncoderBlock (strides (2,3,4,4,5), channels 32*2^i) ->
+Conv(k=3) to codebook_dim; bottleneck = ResidualQuantizer (or an
+energy-transformer, swappable); decoder = ConvT(k=7) stem ->
+n_blocks x CausalDecoderBlock (reversed strides, per-block wavelet flags) ->
+Conv(k=7) back to in_channels. Total stride = prod(strides) = 480 by default,
+so the latent has ceil(L_samples / 480) frames.
+
+Functional-state design: codebook EMA/SOM state lives in the 'codebook'
+variable collection (mutable during training, exactly like batch stats), so
+`model.apply(..., mutable=['codebook'])` is the whole train-time protocol and
+checkpointing is uniform. `codebook_n` (bitrate dropout) and
+`update_codebook` are traced values — one compiled step serves all settings.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_generation_tpu.models.blocks import CausalDecoderBlock, CausalEncoderBlock
+from audio_generation_tpu.models.layers import CausalConv1d, CausalConvT1d
+from audio_generation_tpu.models.quantizer import QuantizerState, ResidualQuantizer
+
+
+class CausalVQAE(nn.Module):
+    """Args mirror the reference ctor (networks/vae.py:205-223); see
+    config.VAEConfig for the YAML mapping."""
+
+    in_channels: int = 1
+    n_blocks: int = 5
+    n_layers_per_block: int = 4
+    first_block_channels: int = 32
+    num_quantizers: int = 8
+    codebook_size: Any = 1024
+    codebook_dim: int = 512
+    vq_cutoff_freq: float = 1.0
+    vq_type: str = "ema"
+    strides: Sequence[int] = (2, 3, 4, 4, 5)
+    input_format: str = "b l c"
+    channel_multiplier: int = 2
+    depthwise: bool = False
+    use_som: bool = True
+    som_kernel_type: str = "hard"
+    wavelet_decoders: Any = (False, True, False, False, False)
+    bottleneck: str = "rvq"  # "rvq" | "energy" | "none"
+    energy_kwargs: Any = None  # dict for the energy bottleneck
+    compute_dtype: Any = jnp.float32
+
+    @property
+    def scale_factor(self) -> int:
+        return int(np.prod(self.strides))
+
+    @property
+    def quantizer(self) -> ResidualQuantizer:
+        return ResidualQuantizer(
+            num_quantizers=self.num_quantizers,
+            dim=self.codebook_dim,
+            codebook_sizes=self.codebook_size,
+            quantizer_class=self.vq_type,
+            vq_cutoff_freq=self.vq_cutoff_freq,
+            use_som=self.use_som,
+            som_kernel_type=self.som_kernel_type,
+        )
+
+    def _channel_sizes(self):
+        return [
+            self.first_block_channels * self.channel_multiplier**i
+            for i in range(self.n_blocks + 1)
+        ]
+
+    def _wavelet_flags(self):
+        flags = self.wavelet_decoders
+        if isinstance(flags, (list, tuple)):
+            assert len(flags) == self.n_blocks, "wavelet_decoders length mismatch"
+            return list(flags)[::-1]  # reference reverses (vae.py:237-241)
+        return [bool(flags)] * self.n_blocks
+
+    # ------------------------------------------------------------------ #
+    def setup(self):
+        chans = self._channel_sizes()
+        wavelet_flags = self._wavelet_flags()
+
+        self.enc_stem = CausalConv1d(features=chans[0], kernel_size=7)
+        self.enc_blocks = [
+            CausalEncoderBlock(
+                out_channels=chans[i + 1],
+                stride=self.strides[i],
+                n_layers=self.n_layers_per_block,
+                depthwise=self.depthwise,
+            )
+            for i in range(self.n_blocks)
+        ]
+        self.enc_out = CausalConv1d(features=self.codebook_dim, kernel_size=3)
+
+        self.dec_stem = CausalConvT1d(features=chans[-1], kernel_size=7)
+        self.dec_blocks = [
+            CausalDecoderBlock(
+                out_channels=chans[i - 1],
+                stride=self.strides[i - 1],
+                n_layers=self.n_layers_per_block,
+                depthwise=self.depthwise,
+                wavelet=wavelet_flags[i - 1],
+            )
+            for i in range(self.n_blocks, 0, -1)
+        ]
+        self.dec_out = CausalConv1d(features=self.in_channels, kernel_size=7)
+
+        if self.bottleneck == "energy":
+            from audio_generation_tpu.models.energy import EnergyTransformer
+
+            kwargs = dict(self.energy_kwargs or {})
+            kwargs.setdefault("dim", self.codebook_dim)
+            self.energy_bottleneck = EnergyTransformer(**kwargs)
+
+        if self.bottleneck == "rvq":
+            q = self.quantizer
+            self.qstate = self.variable(
+                "codebook",
+                "state",
+                lambda: q.init_state(
+                    self.make_rng("params")
+                    if self.has_rng("params")
+                    else jax.random.key(0)
+                ),
+            )
+
+    def _to_blc(self, x):
+        if self.input_format == "b l c":
+            return x
+        return jnp.swapaxes(x, 1, 2)  # "n c l" -> (B, L, C)
+
+    def _from_blc(self, x):
+        if self.input_format == "b l c":
+            return x
+        return jnp.swapaxes(x, 1, 2)
+
+    # ------------------------------------------------------------------ #
+    def encoder_fn(self, x):
+        """Raw encoder stack: (B, L, Cin) -> (B, ceil(L/480), codebook_dim)."""
+        x = self.enc_stem(x)
+        for block in self.enc_blocks:
+            x = block(x)
+        return self.enc_out(x)
+
+    def decoder_fn(self, z):
+        """Raw decoder stack: (B, L_latent, codebook_dim) -> (B, L, Cin)."""
+        x = self.dec_stem(z)
+        for block in self.dec_blocks:
+            x = block(x)
+        return self.dec_out(x)
+
+    def _quantizer_state(self):
+        return self.qstate
+
+    def bottleneck_fn(self, z, update_codebook=False, codebook_n=None, prioritize_early=False):
+        """(B, L, D) -> (z_q, indices, commit_loss); threads codebook state."""
+        if self.bottleneck == "none":
+            idx = jnp.zeros(z.shape[:2] + (self.num_quantizers,), jnp.int32)
+            return z, idx, jnp.float32(0.0)
+        if self.bottleneck == "energy":
+            z_q, aux = self.energy_bottleneck(z.astype(jnp.float32))
+            idx = jnp.zeros(z.shape[:2] + (self.num_quantizers,), jnp.int32)
+            return z_q.astype(z.dtype), idx, aux
+        q = self.quantizer
+        state_var = self._quantizer_state()
+        z_q, indices, commit, new_state = q(
+            state_var.value,
+            z.astype(jnp.float32),
+            codebook_n=codebook_n,
+            update_codebook=update_codebook,
+            prioritize_early=prioritize_early,
+        )
+        if not self.is_initializing() and state_var.is_mutable():
+            state_var.value = new_state
+        return z_q.astype(z.dtype), indices, commit
+
+    # ------------------------------------------------------------------ #
+    def __call__(self, x, update_codebook=False, codebook_n=None, prioritize_early=False):
+        """Full forward (reference: networks/vae.py:293-305).
+
+        Returns (y, commit_loss, indices); y in `input_format` layout.
+        """
+        z_q, commit, indices = self.encode(
+            x, update_codebook=update_codebook, codebook_n=codebook_n,
+            prioritize_early=prioritize_early,
+        )
+        y = self.decoder_fn(z_q.astype(self.compute_dtype))
+        return self._from_blc(y).astype(jnp.float32), commit, indices
+
+    def encode(self, x, update_codebook=False, codebook_n=None, prioritize_early=False):
+        """Encode + quantize (reference: networks/vae.py:307-322).
+
+        Returns (z_q (B, L_latent, D), commit_loss, indices (B, L_latent, nq)).
+        """
+        x = self._to_blc(x).astype(self.compute_dtype)
+        z = self.encoder_fn(x)
+        z_q, indices, commit = self.bottleneck_fn(
+            z, update_codebook=update_codebook, codebook_n=codebook_n,
+            prioritize_early=prioritize_early,
+        )
+        return z_q, commit, indices
+
+    def decode(self, z_q):
+        """Decode quantized latents (B, L_latent, D) -> waveform in
+        `input_format` layout."""
+        y = self.decoder_fn(z_q.astype(self.compute_dtype))
+        return self._from_blc(y).astype(jnp.float32)
+
+    def decode_indices(self, indices):
+        """Codes (B, L_latent, nq) -> waveform; the codec 'decoder side'."""
+        q = self.quantizer
+        state = self._quantizer_state().value
+        z_q = q.dequantize(state, indices)
+        return self.decode(z_q)
+
+    def sample(self, rng, length: int = 225):
+        """Unconditional generation: random indices per level -> dequantize
+        -> sum -> decode (reference: networks/vae.py:324-345)."""
+        sizes = self.quantizer.codebook_sizes
+        keys = jax.random.split(rng, self.num_quantizers)
+        idx = jnp.stack(
+            [
+                jax.random.randint(keys[i], (1, length), 0, sizes[i])
+                for i in range(self.num_quantizers)
+            ],
+            axis=-1,
+        )  # (1, length, nq)
+        return self.decode_indices(idx)
+
+
+def model_from_config(cfg) -> CausalVQAE:
+    """Build a CausalVQAE from config.VAEConfig (YAML `vae_args`)."""
+    return CausalVQAE(
+        in_channels=cfg.in_channels,
+        n_blocks=cfg.n_blocks,
+        n_layers_per_block=cfg.n_layers_per_block,
+        first_block_channels=cfg.first_block_channels,
+        num_quantizers=cfg.num_quantizers,
+        codebook_size=cfg.codebook_size,
+        codebook_dim=cfg.codebook_dim,
+        vq_cutoff_freq=cfg.vq_cutoff_freq,
+        vq_type=cfg.vq_type,
+        strides=tuple(cfg.strides),
+        input_format=cfg.input_format,
+        channel_multiplier=cfg.channel_multiplier,
+        depthwise=cfg.depthwise,
+        use_som=cfg.use_som,
+        som_kernel_type=cfg.som_kernel_type,
+        wavelet_decoders=tuple(cfg.wavelet_decoders)
+        if isinstance(cfg.wavelet_decoders, (list, tuple))
+        else cfg.wavelet_decoders,
+        compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+    )

@@ -1,0 +1,6 @@
+from audio_generation_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_params,
+)
