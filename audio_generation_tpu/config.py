@@ -55,6 +55,14 @@ class VAEConfig:
 
     @classmethod
     def from_dict(cls, d: dict) -> "VAEConfig":
+        d = dict(d)
+        # infer n_blocks from an explicit strides list, and regenerate the
+        # default wavelet flags ([False, True, False, ...]) at the new length
+        if "strides" in d and "n_blocks" not in d:
+            d["n_blocks"] = len(d["strides"])
+        if "wavelet_decoders" not in d and d.get("n_blocks", 5) != 5:
+            n = d["n_blocks"]
+            d["wavelet_decoders"] = [i == 1 for i in range(n)]
         return cls(**_filter_kwargs(cls, dict(d), "vae_args"))
 
 

@@ -171,6 +171,12 @@ class StridedConv1d(_NormedConvBase):
     @nn.compact
     def __call__(self, x):
         w, b = self._weight(x.shape[-1])
+        if x.shape[1] < self.kernel_size:
+            raise ValueError(
+                f"input length {x.shape[1]} < kernel {self.kernel_size}: the "
+                f"discriminator stack needs a longer waveform (it shrinks by "
+                f"its VALID convs; use clips of at least a few thousand samples)"
+            )
         # reference passes no padding to these convs -> VALID
         y = jax.lax.conv_general_dilated(
             x,

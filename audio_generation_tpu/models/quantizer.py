@@ -124,10 +124,13 @@ class ResidualQuantizer:
         S, D, nq = self.max_size, self.dim, self.num_quantizers
         codebooks = jax.random.normal(rng, (nq, S, D), dtype=jnp.float32) / np.sqrt(D)
         codebooks = codebooks * jnp.asarray(self._size_mask())[..., None]
+        # EMA state must satisfy means / counts == codebooks at init so unused
+        # entries decay coherently (counts=0 with nonzero means would divide
+        # dead entries by the Laplace epsilon and blow them up)
         return QuantizerState(
             codebooks=codebooks,
-            ema_counts=jnp.zeros((nq, S), dtype=jnp.float32),
-            ema_means=codebooks,  # consistent with counts ~ 1 after warmup
+            ema_counts=jnp.ones((nq, S), dtype=jnp.float32),
+            ema_means=codebooks,
             usage=jnp.ones((nq, S), dtype=jnp.float32),
             cutoff=jnp.asarray(self.vq_cutoff_freq, dtype=jnp.float32),
         )
@@ -142,7 +145,11 @@ class ResidualQuantizer:
         noise = 0.01 * jax.random.normal(rng, state.codebooks.shape, dtype=jnp.float32)
         codebooks = flat[idx] + noise
         codebooks = codebooks * jnp.asarray(self._size_mask())[..., None]
-        return state.replace(codebooks=codebooks, ema_means=codebooks)
+        return state.replace(
+            codebooks=codebooks,
+            ema_means=codebooks,
+            ema_counts=jnp.ones_like(state.ema_counts),
+        )
 
     # ---- kernels ----------------------------------------------------------
     def _neighborhood_kernel(self, cutoff):

@@ -110,6 +110,9 @@ class Trainer:
         self.d_energies: Optional[list] = None
         self._np_rng = np.random.default_rng(cfg.seed)
 
+        from audio_generation_tpu.utils.metrics import MetricsWriter
+
+        self.metrics_writer = MetricsWriter(os.path.join(self.workdir, "metrics.csv"))
         self.ckpt = CheckpointManager(os.path.join(self.workdir, "checkpoints"))
         if not config.scratch_train:
             self._maybe_resume()
@@ -249,6 +252,7 @@ class Trainer:
                     f"(active discriminators {active})"
                 )
             total = float(metrics.pop("generator_total"))
+            self.metrics_writer.write(int(self.state.step), {**metrics, "total": total})
             if losses is not None:
                 losses.append(total)
             for name, value in metrics.items():

@@ -1,13 +1,21 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh so
 sharding/pjit paths are exercised without TPU hardware (SURVEY.md §4)."""
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Drop the axon TPU-tunnel plugin site dir for CPU-only tests: merely loading
+# the plugin can block on the (remote) tunnel and stall unrelated CPU runs.
+sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
+os.environ["PYTHONPATH"] = ":".join(
+    p for p in os.environ.get("PYTHONPATH", "").split(":") if ".axon_site" not in p
+)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,119 @@
+"""Data pipeline: wav IO, collator laws, datasets, augmentations."""
+import os
+
+import numpy as np
+import pytest
+
+from audio_generation_tpu.data import (
+    CommonVoice,
+    SyntheticAudio,
+    collate,
+    get_dataset,
+    introduce_disharmony,
+    overtones,
+    read_wav,
+    simple_mixed_sin,
+    write_wav,
+)
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    x = (rng.normal(size=(1, 4800)) * 0.5).astype(np.float32)
+    path = str(tmp_path / "t.wav")
+    write_wav(path, x, 24000)
+    y, sr = read_wav(path)
+    assert sr == 24000
+    assert y.shape == x.shape
+    # 16-bit quantization + the 32767/32768 write/read scale mismatch
+    np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1e-4)
+
+
+def test_wav_stereo(tmp_path, rng):
+    x = (rng.normal(size=(2, 1000)) * 0.3).astype(np.float32)
+    path = str(tmp_path / "s.wav")
+    write_wav(path, x, 16000)
+    y, sr = read_wav(path)
+    assert y.shape == (2, 1000)
+    np.testing.assert_allclose(y, np.clip(x, -1, 1), atol=1e-4)
+
+
+def test_collate_pad_and_crop(rng):
+    short = rng.normal(size=(1, 50)).astype(np.float32)
+    long = rng.normal(size=(1, 200)).astype(np.float32)
+    exact = rng.normal(size=(1, 100)).astype(np.float32)
+    out = collate([short, long, exact], size=100, rng=np.random.default_rng(0))
+    assert out.shape == (3, 100)
+    # padded short clip: zeros outside a contiguous 50-sample window
+    nz = np.flatnonzero(out[0])
+    assert nz.size > 0 and nz[-1] - nz[0] < 50
+    # exact passes through
+    np.testing.assert_array_equal(out[2], exact[0])
+    # cropped long clip is a contiguous slice
+    found = any(
+        np.array_equal(out[1], long[0, s : s + 100]) for s in range(101)
+    )
+    assert found
+
+
+def test_collate_resamples(rng):
+    x = rng.normal(size=(1, 48000)).astype(np.float32)
+    out = collate([x], size=24000, rng=np.random.default_rng(0), resample_from=48000, resample_to=24000)
+    assert out.shape == (1, 24000)
+
+
+def test_synthetic_dataset_deterministic():
+    ds = SyntheticAudio(length=1000, n_items=4, seed=1)
+    a1, sr, meta = ds[0]
+    a2, _, _ = ds[0]
+    np.testing.assert_array_equal(a1, a2)
+    b, _, _ = ds[1]
+    assert not np.array_equal(a1, b)
+    assert a1.shape == (1, 1000)
+    assert np.abs(a1).max() <= 1.0
+
+
+def test_commonvoice_tsv(tmp_path, rng):
+    os.makedirs(tmp_path / "clips", exist_ok=True)
+    rows = ["client_id\tpath\tsentence\tup_votes\tdown_votes\tage\tgender\taccent"]
+    for i in range(3):
+        wav = (rng.normal(size=(1, 500)) * 0.2).astype(np.float32)
+        write_wav(str(tmp_path / "clips" / f"c{i}.wav"), wav, 48000)
+        rows.append(f"id{i}\tc{i}.wav\thello\t1\t0\t20\tf\tus")
+    with open(tmp_path / "train.tsv", "w") as f:
+        f.write("\n".join(rows))
+    ds = CommonVoice(str(tmp_path))
+    assert len(ds) == 3
+    wave, sr, meta = ds[1]
+    assert sr == 48000
+    assert wave.shape == (1, 500)
+    assert meta["client_id"] == "id1"
+    assert meta["sentence"] == "hello"
+
+
+def test_get_dataset_registry():
+    ds, sr = get_dataset("synthetic", n_items=2)
+    assert sr == 24000 and len(ds) == 2
+    with pytest.raises(ValueError):
+        get_dataset("nope")
+
+
+def test_simple_mixed_sin():
+    interval = np.arange(-1, 1, 0.01)
+    freqs, sins = simple_mixed_sin(5, interval, rng=np.random.default_rng(0))
+    assert freqs.shape == (5,)
+    assert (np.diff(freqs) >= 0).all()
+    assert sins.shape == (1, 1, 200)
+
+
+def test_overtones():
+    x = overtones(1000, 100.0)
+    assert x.shape == (1000,)
+    np.testing.assert_allclose(np.abs(x).max(), 0.125, rtol=1e-5)
+
+
+def test_introduce_disharmony(rng):
+    x = rng.normal(size=(1, 1, 512)).astype(np.float32)
+    y = introduce_disharmony(x, n_segments=4, rng=np.random.default_rng(0))
+    assert y.shape == x.shape
+    assert not np.allclose(x, y)
+    assert np.isfinite(y).all()

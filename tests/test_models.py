@@ -125,11 +125,13 @@ def test_overfit_smoke(rng):
         return params, new_codebook, opt_state, loss
 
     losses = []
-    for _ in range(30):
+    for _ in range(200):
         params, codebook, opt_state, loss = step(params, codebook, opt_state)
         losses.append(float(loss))
     assert np.isfinite(losses).all()
-    assert losses[-1] < losses[0] * 0.8, f"no learning: {losses[0]} -> {losses[-1]}"
+    # quantized training converges slower than unbottlenecked (the codebook
+    # must settle first); 200 steps roughly halves the loss on this fixture
+    assert losses[-1] < losses[0] * 0.6, f"no learning: {losses[0]} -> {losses[-1]}"
 
 
 def test_wavelet_layer_shape(rng):

@@ -1,0 +1,196 @@
+"""Trainer integration: full GAN train step, resume, augmentations, config."""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_generation_tpu.config import ExperimentConfig
+
+
+def tiny_config(tmp_path, gan=True, **overrides):
+    d = {
+        "experiment_name": "t",
+        "save_path_root": str(tmp_path) + "/",
+        "dataset": "synthetic",
+        "sample_rate": 24000,
+        "use_discriminator": gan,
+        "scratch_train": True,
+        "lr": 1e-3,
+        "scheduler_warmup": 2,
+        "scheduler_total_iter": 100,
+        "vae_args": {
+            "in_channels": 1,
+            "num_quantizers": 4,
+            "codebook_size": 32,
+            "codebook_dim": 16,
+            "first_block_channels": 4,
+            "n_layers_per_block": 2,
+            "strides": [2, 3, 4],
+            "wavelet_decoders": [False, True, False],
+            "input_format": "n c l",
+            "use_som": True,
+            "som_kernel_type": "hard",
+            "vq_type": "ema",
+        },
+        "trainer_args": {
+            "batch_size": 2,
+            "accumulation_steps": 2,
+            "use_one_discriminator": True,
+            "mini_epoch_length": 2,
+            "steps_per_epoch": 8,
+            "save_every": 1,
+            "spec_windows": [32, 64],
+        },
+        "train_run_args": {
+            "epochs": 1,
+            "sparsity_weight": 0.01,
+        },
+    }
+    d.update(overrides)
+    return ExperimentConfig.from_dict(d)
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset():
+    from audio_generation_tpu.data import SyntheticAudio
+
+    return SyntheticAudio(length=24 * 80, sample_rate=24000, n_items=16)
+
+
+def make_trainer(tmp_path, tiny_dataset, gan=True, **overrides):
+    from audio_generation_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(tmp_path, gan=gan, **overrides)
+    tr = Trainer(cfg, dataset=tiny_dataset, data_sample_rate=24000)
+    tr.crop_size = 24 * 1024  # small but long enough for the MelGAN stack
+    tr.state = tr._init_state(jax.random.key(0))
+    return tr
+
+
+def test_full_gan_step(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset)
+    data_iter = tr._data_iterator()
+    params_before = jax.tree_util.tree_leaves(tr.state.params)[0].copy()
+    tr.mini_epoch(data_iter)
+    params_after = jax.tree_util.tree_leaves(tr.state.params)[0]
+    assert not np.allclose(np.asarray(params_before), np.asarray(params_after))
+    assert int(tr.state.step) == 1
+    assert tr.mini_epoch_i == 1
+    assert tr.loss_breakdown["generator"]  # ledger populated
+    assert tr.d_energies is not None and len(tr.d_energies) == 6
+
+
+def test_discriminator_sampling_and_codebook_options(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset)
+    # 6 discriminators, nq=4: [4, 1(), 2, 3, 4] pattern from training.py:196-199
+    assert tr.codebook_options[0] == 4
+    assert tr.codebook_options[-1] == 4
+    assert len(tr.codebook_options) == 6
+    active, codebook_n = tr._pick_discriminator()
+    assert len(active) == 1
+    assert 1 <= codebook_n <= 4
+
+
+def test_non_gan_training(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset, gan=False)
+    data_iter = tr._data_iterator()
+    tr.mini_epoch(data_iter)
+    assert int(tr.state.step) == 1
+    active, codebook_n = tr._pick_discriminator()
+    assert active == ()
+    assert 2 <= codebook_n <= 4
+
+
+def test_checkpoint_resume(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset)
+    data_iter = tr._data_iterator()
+    tr.mini_epoch(data_iter)
+    tr.epoch = 3
+    tr.save_state()
+
+    tr2 = make_trainer(tmp_path, tiny_dataset)
+    tr2.config.scratch_train = False
+    tr2._maybe_resume()
+    assert tr2.epoch == 3
+    assert int(tr2.state.step) == int(tr.state.step)
+    a = jax.tree_util.tree_leaves(tr.state.params)[0]
+    b = jax.tree_util.tree_leaves(tr2.state.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cutoff_decay_and_stale_report(tmp_path, tiny_dataset, capsys):
+    tr = make_trainer(tmp_path, tiny_dataset)
+    before = float(tr.state.codebook["state"].cutoff)
+    tr.train(epochs=1)
+    after = float(tr.state.codebook["state"].cutoff)
+    np.testing.assert_allclose(after, before * 0.95, rtol=1e-5)
+    out = capsys.readouterr().out
+    assert "stale cluster change" in out
+    assert "Loss breakdown" in out
+    # artifacts
+    assert any(f.endswith("_sample.wav") for f in os.listdir(tr.workdir))
+
+
+def test_sample_data_and_reconstruct(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset)
+    y = tr.sample_data(length_multiple=2)
+    assert y.shape == (tr.crop_size * 2,)
+    wave = np.asarray(tiny_dataset[0][0][0])
+    rec = tr.reconstruct(wave)
+    assert rec.shape[0] == (len(wave) // 24) * 24
+
+
+def test_train_new_quantizer_energy(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset, gan=False)
+    tr.train_new_quantizer(
+        bottleneck="energy",
+        energy_kwargs={"dim": 16, "n_heads": 2, "head_dim": 8, "n_iters": 2},
+        epochs=1,
+    )
+    assert tr.model.bottleneck == "energy"
+    assert int(tr.state.step) > 0
+
+
+def test_nan_watchdog(tmp_path, tiny_dataset):
+    tr = make_trainer(tmp_path, tiny_dataset, gan=False)
+    # poison the params to force NaNs
+    tr.state = tr.state.replace(
+        params=jax.tree_util.tree_map(lambda p: p * np.nan, tr.state.params)
+    )
+    with pytest.raises(ValueError, match="NaN loss"):
+        tr.mini_epoch(tr._data_iterator())
+
+
+def test_config_yaml_roundtrip(tmp_path):
+    cfg = tiny_config(tmp_path)
+    import yaml
+
+    path = os.path.join(tmp_path, "cfg.yml")
+    with open(path, "w") as f:
+        yaml.safe_dump(
+            {
+                "experiment_name": "yamltest",
+                "dataset": "synthetic",
+                "sample_rate": 24000,
+                "use_discriminator": False,
+                "lr": 0.0005,
+                "vae_args": {"num_quantizers": 10, "codebook_size": 512, "vq_type": "base"},
+                "trainer_args": {"batch_size": 4, "accumulation_steps": 32},
+                "train_run_args": {"epochs": 10, "sparsity_weight": 0},
+            },
+            f,
+        )
+    loaded = ExperimentConfig.from_yaml(path)
+    assert loaded.vae.num_quantizers == 10
+    assert loaded.vae.vq_type == "base"
+    assert loaded.trainer.accumulation_steps == 32
+    assert loaded.run.epochs == 10
+    assert loaded.trainer.model_lr == 0.0005  # top-level lr flows to trainer
+    assert loaded.save_path.endswith("yamltest/")
+
+
+def test_config_rejects_unknown_keys(tmp_path):
+    with pytest.raises(ValueError, match="Unknown keys"):
+        ExperimentConfig.from_dict({"vae_args": {"not_a_real_arg": 1}})
