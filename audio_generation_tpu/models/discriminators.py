@@ -68,19 +68,30 @@ class WaveformDiscriminatorBlock(nn.Module):
 
 
 class WaveFormDiscriminator(nn.Module):
-    """3 blocks at input scales 1/2/4 (reference: discriminator.py:58-82)."""
+    """3 blocks at input scales 1/2/4 (reference: discriminator.py:58-82).
+    Block geometry is overridable (small banks for tests / ablations)."""
 
     n_blocks: int = 3
     scalefactor_per_block: int = 2
     norm: str = "spectral"
     name_tag: str = "waveform_discriminator"
+    channel_sizes: Sequence[int] = (16, 64, 256, 512, 1024, 1024, 1024)
+    kernel_sizes: Sequence[int] = (15, 41, 41, 41, 41, 5, 3)
+    strides: Sequence[int] = (1, 4, 4, 4, 4, 1, 1)
+    groups: Sequence[int] = (1, 4, 16, 64, 256, 1, 1)
 
     @nn.compact
     def __call__(self, x):
         outputs, features = [], []
         for i in range(self.n_blocks):
             out, feats = WaveformDiscriminatorBlock(
-                scale=self.scalefactor_per_block**i, norm=self.norm, name=f"block{i}"
+                scale=self.scalefactor_per_block**i,
+                norm=self.norm,
+                channel_sizes=self.channel_sizes,
+                kernel_sizes=self.kernel_sizes,
+                strides=self.strides,
+                groups=self.groups,
+                name=f"block{i}",
             )(x)
             outputs.append(out)
             features.extend(feats)
@@ -151,6 +162,12 @@ class STFTDiscriminator(nn.Module):
             )(h)
             features.append(h)
         final_kernel = self.win_length // (2 ** (len(self.channel_multipliers) + 1))
+        if final_kernel < 1:
+            raise ValueError(
+                f"win_length {self.win_length} too small for "
+                f"{len(self.channel_multipliers)} blocks (final kernel would be 0); "
+                f"the reference uses windows >= 128"
+            )
         h = Conv2dTorch(
             features=1,
             kernel_hw=(1, final_kernel),

@@ -185,7 +185,9 @@ class StridedConv1d(_NormedConvBase):
             padding=[(0, 0)],
             dimension_numbers=("NWC", "WIO", "NWC"),
             feature_group_count=self.groups,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=jax.lax.Precision.HIGHEST
+            if x.dtype != jnp.bfloat16
+            else jax.lax.Precision.DEFAULT,
         )
         if b is not None:
             y = y + b.astype(x.dtype)

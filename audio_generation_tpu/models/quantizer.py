@@ -130,7 +130,8 @@ class ResidualQuantizer:
         return QuantizerState(
             codebooks=codebooks,
             ema_counts=jnp.ones((nq, S), dtype=jnp.float32),
-            ema_means=codebooks,
+            # distinct buffer (same values): aliased leaves break donation
+            ema_means=codebooks + 0.0,
             usage=jnp.ones((nq, S), dtype=jnp.float32),
             cutoff=jnp.asarray(self.vq_cutoff_freq, dtype=jnp.float32),
         )
@@ -147,7 +148,7 @@ class ResidualQuantizer:
         codebooks = codebooks * jnp.asarray(self._size_mask())[..., None]
         return state.replace(
             codebooks=codebooks,
-            ema_means=codebooks,
+            ema_means=codebooks + 0.0,
             ema_counts=jnp.ones_like(state.ema_counts),
         )
 

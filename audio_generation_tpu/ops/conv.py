@@ -32,10 +32,16 @@ import jax.numpy as jnp
 
 DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
 
-# Precision policy: f32 inputs get exact f32 convs (Precision.HIGHEST); for
-# MXU-rate compute, pass bfloat16 arrays explicitly (the model's
-# `compute_dtype` knob) rather than letting the backend silently round f32.
+# Precision policy: f32 inputs get exact f32 convs (Precision.HIGHEST) so
+# goldens/indices are bit-stable; bfloat16 inputs (the model's
+# `compute_dtype` fast path) use DEFAULT, which is the single-pass MXU mode.
 PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _precision_for(x):
+    if x.dtype == jnp.bfloat16:
+        return jax.lax.Precision.DEFAULT
+    return jax.lax.Precision.HIGHEST
 
 
 def causal_pad_amounts(length: int, kernel_size: int, stride: int = 1, dilation: int = 1):
@@ -65,7 +71,7 @@ def causal_conv1d(x, w, b=None, *, stride: int = 1, dilation: int = 1, groups: i
         rhs_dilation=(dilation,),
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
-        precision=PRECISION,
+        precision=_precision_for(x),
     )
     if b is not None:
         y = y + b
@@ -88,7 +94,7 @@ def causal_conv_transpose1d(x, w, b=None, *, stride: int = 1):
         dimension_numbers=DIMENSION_NUMBERS,
         transpose_kernel=True,  # torch ConvTranspose orientation: input i
         # contributes w[j] to output i*stride + j (spreads forward in time)
-        precision=PRECISION,
+        precision=_precision_for(x),
     )
     right_crop = k - stride
     if right_crop > 0:
@@ -122,7 +128,7 @@ def same_conv1d(x, w, b=None, *, groups: int = 1):
         padding=[(left, right)],
         dimension_numbers=DIMENSION_NUMBERS,
         feature_group_count=groups,
-        precision=PRECISION,
+        precision=_precision_for(x),
     )
     if b is not None:
         y = y + b
@@ -154,7 +160,7 @@ def conv2d_same(x, w, b=None, *, stride=(1, 1), padding=None):
         window_strides=tuple(stride),
         padding=[(ph, ph), (pw, pw)],
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        precision=PRECISION,
+        precision=_precision_for(x),
     )
     if b is not None:
         y = y + b

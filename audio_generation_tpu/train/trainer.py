@@ -55,6 +55,7 @@ class Trainer:
         data_sample_rate: Optional[int] = None,
         workdir: Optional[str] = None,
         mesh=None,
+        discriminators=None,  # optional (modules, names) override
     ):
         self.config = config
         cfg = config.trainer
@@ -79,7 +80,10 @@ class Trainer:
 
         self.gan = config.use_discriminator
         if self.gan:
-            self.discriminators, self.disc_names = build_discriminators()
+            if discriminators is not None:
+                self.discriminators, self.disc_names = discriminators
+            else:
+                self.discriminators, self.disc_names = build_discriminators()
             nq = config.vae.num_quantizers
             nq_per_d = max(nq // (len(self.discriminators) - 1), 1)
             # codebook_options ties bitrate to the chosen discriminator

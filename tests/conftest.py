@@ -20,6 +20,12 @@ os.environ["PYTHONPATH"] = ":".join(
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# persistent compilation cache: trainer-step compiles dominate suite time
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
 
 @pytest.fixture
 def rng():

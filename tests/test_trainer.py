@@ -18,7 +18,7 @@ def tiny_config(tmp_path, gan=True, **overrides):
         "use_discriminator": gan,
         "scratch_train": True,
         "lr": 1e-3,
-        "scheduler_warmup": 2,
+        "scheduler_warmup": 0,  # warmup starts at LR 0 — tests want step 1 to move params
         "scheduler_total_iter": 100,
         "vae_args": {
             "in_channels": 1,
@@ -59,12 +59,35 @@ def tiny_dataset():
     return SyntheticAudio(length=24 * 80, sample_rate=24000, n_items=16)
 
 
+def small_disc_bank():
+    """A scaled-down adversary bank so CPU test compiles stay fast; the full
+    bank's architecture is covered by tests/test_discriminators.py."""
+    from audio_generation_tpu.models.discriminators import (
+        STFTDiscriminator,
+        WaveFormDiscriminator,
+    )
+
+    modules = [
+        WaveFormDiscriminator(n_blocks=1, channel_sizes=(4, 8, 8, 8, 8, 8, 8),
+                              groups=(1, 2, 2, 2, 2, 1, 1)),
+        STFTDiscriminator(win_length=128, first_channel_size=4),
+        STFTDiscriminator(win_length=256, first_channel_size=4),
+    ]
+    names = ["waveform_discriminator", "stft_discriminator_128", "stft_discriminator_256"]
+    return modules, names
+
+
 def make_trainer(tmp_path, tiny_dataset, gan=True, **overrides):
     from audio_generation_tpu.train.trainer import Trainer
 
     cfg = tiny_config(tmp_path, gan=gan, **overrides)
-    tr = Trainer(cfg, dataset=tiny_dataset, data_sample_rate=24000)
-    tr.crop_size = 24 * 1024  # small but long enough for the MelGAN stack
+    tr = Trainer(
+        cfg,
+        dataset=tiny_dataset,
+        data_sample_rate=24000,
+        discriminators=small_disc_bank() if gan else None,
+    )
+    tr.crop_size = 24 * 256  # small but long enough for the VALID-conv stack
     tr.state = tr._init_state(jax.random.key(0))
     return tr
 
@@ -79,15 +102,14 @@ def test_full_gan_step(tmp_path, tiny_dataset):
     assert int(tr.state.step) == 1
     assert tr.mini_epoch_i == 1
     assert tr.loss_breakdown["generator"]  # ledger populated
-    assert tr.d_energies is not None and len(tr.d_energies) == 6
+    assert tr.d_energies is not None and len(tr.d_energies) == len(tr.discriminators)
 
 
 def test_discriminator_sampling_and_codebook_options(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset)
-    # 6 discriminators, nq=4: [4, 1(), 2, 3, 4] pattern from training.py:196-199
-    assert tr.codebook_options[0] == 4
-    assert tr.codebook_options[-1] == 4
-    assert len(tr.codebook_options) == 6
+    # 3 discriminators, nq=4: [nq] + [nq_per_d*(i+1)...] + [nq]
+    # (pattern from training.py:196-199)
+    assert tr.codebook_options == [4, 2, 4]
     active, codebook_n = tr._pick_discriminator()
     assert len(active) == 1
     assert 1 <= codebook_n <= 4
