@@ -95,6 +95,8 @@ class TrainerConfig:
     seed: int = 0
     mesh_shape: Optional[Sequence[int]] = None  # e.g. [8] or [4, 2]
     mesh_axes: Sequence[str] = ("data",)
+    debug_nans: bool = False  # jax.debug_nans mode (SURVEY.md §5.2): trap the
+    # first NaN-producing op instead of the per-step watchdog
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainerConfig":

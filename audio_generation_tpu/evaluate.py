@@ -1,0 +1,81 @@
+"""Codec quality evaluation: SNR, SI-SDR, multiscale mel distance, bitrate.
+
+The reference publishes no quality numbers (BASELINE.md); this module defines
+the framework's own evaluation so codec quality is measurable per config
+(BASELINE.json configs) and trackable across training runs.
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_generation_tpu.ops.stft import make_mel_bank
+
+
+def snr_db(reference, estimate, eps: float = 1e-12):
+    """Signal-to-noise ratio in dB over the last axis."""
+    reference = jnp.asarray(reference)
+    estimate = jnp.asarray(estimate)
+    noise = reference - estimate
+    ratio = jnp.sum(reference**2, axis=-1) / (jnp.sum(noise**2, axis=-1) + eps)
+    return 10.0 * jnp.log10(ratio + eps)
+
+
+def si_sdr_db(reference, estimate, eps: float = 1e-12):
+    """Scale-invariant SDR (dB): project the estimate onto the reference
+    before computing the ratio (Le Roux et al., 2019)."""
+    reference = jnp.asarray(reference)
+    estimate = jnp.asarray(estimate)
+    ref_zm = reference - jnp.mean(reference, axis=-1, keepdims=True)
+    est_zm = estimate - jnp.mean(estimate, axis=-1, keepdims=True)
+    alpha = jnp.sum(est_zm * ref_zm, axis=-1, keepdims=True) / (
+        jnp.sum(ref_zm**2, axis=-1, keepdims=True) + eps
+    )
+    target = alpha * ref_zm
+    noise = est_zm - target
+    ratio = jnp.sum(target**2, axis=-1) / (jnp.sum(noise**2, axis=-1) + eps)
+    return 10.0 * jnp.log10(ratio + eps)
+
+
+def mel_distance(reference, estimate, sample_rate: int, windows: Sequence[int] = (512, 1024, 2048)):
+    """Mean L1 distance between log-mel spectrograms across windows."""
+    bank = make_mel_bank(sample_rate, windows)
+    total = 0.0
+    for mel in bank:
+        a = jnp.log(mel(jnp.asarray(reference)) + 1e-5)
+        b = jnp.log(mel(jnp.asarray(estimate)) + 1e-5)
+        total = total + jnp.mean(jnp.abs(a - b))
+    return total / len(bank)
+
+
+def codec_bitrate_bps(num_quantizers: int, codebook_size, sample_rate: int, stride: int) -> float:
+    """Nominal coded bitrate (reference: bitrate math at utils.py:137-147)."""
+    sizes = codebook_size if isinstance(codebook_size, (list, tuple)) else [codebook_size] * num_quantizers
+    bits_per_frame = sum(math.log2(s) for s in sizes)
+    return bits_per_frame * sample_rate / stride
+
+
+def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebook_n: Optional[int] = None):
+    """Round-trip a batch of (B, L) waveforms; returns a metrics dict."""
+    x = jnp.asarray(waves, dtype=jnp.float32)
+    stride = model.scale_factor
+    L = (x.shape[-1] // stride) * stride
+    x = x[:, :L]
+    inp = x[:, :, None] if model.input_format == "b l c" else x[:, None, :]
+    (y, _commit, indices), _ = model.apply(
+        variables, inp, False, codebook_n, mutable=["codebook"]
+    )
+    y = y[:, :, 0] if model.input_format == "b l c" else y[:, 0, :]
+    return {
+        "snr_db": float(jnp.mean(snr_db(x, y))),
+        "si_sdr_db": float(jnp.mean(si_sdr_db(x, y))),
+        "mel_l1": float(mel_distance(x, y, sample_rate)),
+        "bitrate_bps": codec_bitrate_bps(
+            model.num_quantizers, model.codebook_size, sample_rate, stride
+        ),
+        "latent_fps": sample_rate / stride,
+    }

@@ -180,10 +180,24 @@ class STFTDiscriminator(nn.Module):
         return [score], features
 
 
-def build_discriminators(stft_windows: Sequence[int] = (2048, 1024, 512, 256, 128)):
+def build_discriminators(stft_windows: Sequence[int] = (2048, 1024, 512, 256, 128), small: bool = False):
     """The reference's default adversary bank: one waveform discriminator +
     five STFT discriminators (networks/training.py:570-576). Returns
-    (modules, names)."""
+    (modules, names). `small=True` shrinks channel counts (same architecture
+    and code paths) for CPU dry runs and tests."""
+    if small:
+        modules = [
+            WaveFormDiscriminator(
+                n_blocks=1,
+                channel_sizes=(4, 8, 8, 8, 8, 8, 8),
+                groups=(1, 2, 2, 2, 2, 1, 1),
+            )
+        ]
+        names = ["waveform_discriminator"]
+        for win in stft_windows[-2:]:
+            modules.append(STFTDiscriminator(win_length=win, first_channel_size=4))
+            names.append(f"stft_discriminator_{win}")
+        return modules, names
     modules = [WaveFormDiscriminator()]
     names = ["waveform_discriminator"]
     for win in stft_windows:

@@ -60,6 +60,10 @@ class Trainer:
         self.config = config
         cfg = config.trainer
         self.cfg = cfg
+        if cfg.debug_nans:
+            # trap the first NaN-producing op (SURVEY.md §5.2); heavier than
+            # the in-step watchdog, meant for debugging runs
+            jax.config.update("jax_debug_nans", True)
         self.run = config.run
         self.workdir = workdir or config.save_path
         os.makedirs(self.workdir, exist_ok=True)

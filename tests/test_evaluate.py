@@ -1,0 +1,66 @@
+"""Quality metrics sanity."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from audio_generation_tpu.evaluate import (
+    codec_bitrate_bps,
+    evaluate_codec,
+    mel_distance,
+    si_sdr_db,
+    snr_db,
+)
+
+
+def test_snr_perfect_and_noisy(rng):
+    x = rng.normal(size=(2, 1000)).astype(np.float32)
+    assert float(jnp.mean(snr_db(x, x))) > 100
+    noisy = x + 0.1 * rng.normal(size=x.shape).astype(np.float32)
+    val = float(jnp.mean(snr_db(x, noisy)))
+    assert 15 < val < 25  # ~20 dB for 10% noise
+
+
+def test_si_sdr_scale_invariant(rng):
+    x = rng.normal(size=(1, 1000)).astype(np.float32)
+    noisy = x + 0.1 * rng.normal(size=x.shape).astype(np.float32)
+    a = float(jnp.mean(si_sdr_db(x, noisy)))
+    b = float(jnp.mean(si_sdr_db(x, 3.7 * noisy)))
+    np.testing.assert_allclose(a, b, rtol=1e-3)
+
+
+def test_mel_distance_zero_for_identical(rng):
+    x = rng.normal(size=(1, 4096)).astype(np.float32)
+    assert float(mel_distance(x, x, 24000, windows=[512])) == 0.0
+    y = rng.normal(size=(1, 4096)).astype(np.float32)
+    assert float(mel_distance(x, y, 24000, windows=[512])) > 0.1
+
+
+def test_bitrate():
+    # 8 x log2(1024) = 80 bits/frame at 50 fps -> 4000 bps
+    assert codec_bitrate_bps(8, 1024, 24000, 480) == 4000.0
+
+
+def test_evaluate_codec(rng):
+    from audio_generation_tpu.models import CausalVQAE
+
+    model = CausalVQAE(
+        in_channels=1,
+        n_blocks=2,
+        n_layers_per_block=2,
+        first_block_channels=4,
+        num_quantizers=2,
+        codebook_size=16,
+        codebook_dim=8,
+        strides=(2, 3),
+        wavelet_decoders=(False, False),
+        input_format="n c l",
+        use_som=False,
+        vq_type="ema",
+    )
+    x = jnp.zeros((1, 1, 60))
+    variables = model.init(jax.random.key(0), x)
+    waves = rng.normal(size=(2, 64)).astype(np.float32) * 0.1
+    metrics = evaluate_codec(model, variables, waves, 24000)
+    assert set(metrics) == {"snr_db", "si_sdr_db", "mel_l1", "bitrate_bps", "latent_fps"}
+    assert metrics["latent_fps"] == 4000.0
+    assert np.isfinite(metrics["snr_db"])
