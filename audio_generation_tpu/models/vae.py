@@ -51,6 +51,8 @@ class CausalVQAE(nn.Module):
     bottleneck: str = "rvq"  # "rvq" | "energy" | "none"
     energy_kwargs: Any = None  # dict for the energy bottleneck
     compute_dtype: Any = jnp.float32
+    use_pallas_rvq: bool = False  # inference-only fused RVQ kernel
+    # (ops/rvq_pallas.py); bit-exact indices, no codebook updates
 
     @property
     def scale_factor(self) -> int:
@@ -169,6 +171,18 @@ class CausalVQAE(nn.Module):
             return z_q.astype(z.dtype), idx, aux
         q = self.quantizer
         state_var = self._quantizer_state()
+        if self.use_pallas_rvq and not self.is_initializing():
+            from audio_generation_tpu.ops.rvq_pallas import rvq_encode
+
+            B, L, D = z.shape
+            flat = z.astype(jnp.float32).reshape(B * L, D)
+            idx, qsum = rvq_encode(flat, state_var.value.codebooks)
+            z_q = flat + jax.lax.stop_gradient(qsum - flat)
+            return (
+                z_q.reshape(B, L, D).astype(z.dtype),
+                idx.reshape(B, L, self.num_quantizers),
+                jnp.float32(0.0),
+            )
         z_q, indices, commit, new_state = q(
             state_var.value,
             z.astype(jnp.float32),

@@ -129,14 +129,15 @@ class Trainer:
     def _init_state(self, rng) -> TrainState:
         gen_rng, *disc_rngs = jax.random.split(rng, 1 + max(len(self.discriminators), 1))
         x = jnp.zeros((1, self.crop_size), dtype=jnp.float32)
-        variables = self.model.init(gen_rng, self.steps._model_input(x))
+        # jit the initializers: eager per-op dispatch is slow on remote TPUs
+        variables = jax.jit(self.model.init)(gen_rng, self.steps._model_input(x))
         params = variables["params"]
-        codebook = variables.get("codebook", {})
+        codebook = dict(variables.get("codebook", {}))
         opt_state = self.gen_tx.init(params)
 
         disc_states = []
         for disc, drng in zip(self.discriminators, disc_rngs):
-            dvars = disc.init(drng, x[:, :, None])
+            dvars = jax.jit(disc.init)(drng, x[:, :, None])
             disc_states.append(
                 DiscriminatorState(
                     params=dvars["params"],
@@ -350,6 +351,19 @@ class Trainer:
             v["codebook"] = self.state.codebook
         return v
 
+    @property
+    def _jitted_forward(self):
+        if not hasattr(self, "_fwd_cache"):
+            model = self.model
+
+            @jax.jit
+            def fwd(variables, x):
+                (y, commit, idx), _ = model.apply(variables, x, mutable=["codebook"])
+                return y, commit, idx
+
+            self._fwd_cache = fwd
+        return self._fwd_cache
+
     def sample_data(self, length_multiple: int = 5):
         """Eval-mode reconstruction of one random, longer dataset clip
         (reference: training.py:488-500)."""
@@ -362,10 +376,8 @@ class Trainer:
             resample_from=self.data_sample_rate,
             resample_to=self.cfg.sample_rate,
         )
-        (y, _, _), _ = self.model.apply(
-            self._variables(),
-            self.steps._model_input(jnp.asarray(batch)),
-            mutable=["codebook"],
+        y, _, _ = self._jitted_forward(
+            self._variables(), self.steps._model_input(jnp.asarray(batch))
         )
         return np.asarray(self.steps._to_wave(y))[0]
 
@@ -374,9 +386,7 @@ class Trainer:
         stride = self.model.scale_factor
         L = (len(wave) // stride) * stride
         x = jnp.asarray(wave[None, :L], dtype=jnp.float32)
-        (y, _, _), _ = self.model.apply(
-            self._variables(), self.steps._model_input(x), mutable=["codebook"]
-        )
+        y, _, _ = self._jitted_forward(self._variables(), self.steps._model_input(x))
         return np.asarray(self.steps._to_wave(y))[0]
 
     def train_new_quantizer(self, bottleneck: str = "energy", slow_lr: float = 1e-6,

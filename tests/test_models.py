@@ -236,3 +236,26 @@ def test_energy_bottleneck_differentiable(rng):
     flat = jax.tree_util.tree_leaves(g)
     assert all(np.isfinite(np.asarray(t)).all() for t in flat)
     assert any(np.abs(np.asarray(t)).sum() > 0 for t in flat)
+
+
+def test_pallas_rvq_model_path(rng):
+    """use_pallas_rvq=True (interpret on CPU) matches the scan quantizer."""
+    import dataclasses as dc
+
+    from audio_generation_tpu.ops import rvq_pallas
+
+    model = CausalVQAE(**SMALL)
+    x = jnp.asarray(rng.normal(size=(1, 1, 96)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    (zq_ref, _, idx_ref), _ = model.apply(variables, x, method="encode", mutable=["codebook"])
+
+    fast = dc.replace(model, use_pallas_rvq=True)
+    orig = rvq_pallas.rvq_encode
+    try:
+        # force interpret mode on CPU
+        rvq_pallas.rvq_encode = lambda f, cb, **kw: orig(f, cb, tile_n=32, interpret=True)
+        (zq_fast, _, idx_fast), _ = fast.apply(variables, x, method="encode", mutable=["codebook"])
+    finally:
+        rvq_pallas.rvq_encode = orig
+    np.testing.assert_array_equal(np.asarray(idx_fast), np.asarray(idx_ref))
+    np.testing.assert_allclose(np.asarray(zq_fast), np.asarray(zq_ref), rtol=1e-5, atol=1e-6)
