@@ -64,6 +64,13 @@ class Trainer:
             # trap the first NaN-producing op (SURVEY.md §5.2); heavier than
             # the in-step watchdog, meant for debugging runs
             jax.config.update("jax_debug_nans", True)
+        # persistent compilation cache: full GAN-step compiles take minutes
+        if not jax.config.jax_compilation_cache_dir:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                os.path.expanduser("~/.cache/audio_generation_tpu/xla"),
+            )
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
         self.run = config.run
         self.workdir = workdir or config.save_path
         os.makedirs(self.workdir, exist_ok=True)
