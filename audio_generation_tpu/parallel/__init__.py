@@ -4,3 +4,4 @@ from audio_generation_tpu.parallel.mesh import (  # noqa: F401
     replicate,
     shard_params,
 )
+from audio_generation_tpu.parallel.context import context_parallel_encode  # noqa: F401

@@ -24,14 +24,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(shape: Optional[Sequence[int]] = None, axes: Sequence[str] = ("data",)) -> Mesh:
-    """Build a mesh over all visible devices. Default: 1-D data-parallel."""
+    """Build a mesh over (a prefix of) the visible devices. Default: 1-D
+    data-parallel over all of them."""
     devices = jax.devices()
     if shape is None:
         shape = (len(devices),)
-    assert int(np.prod(shape)) == len(devices), (
-        f"mesh shape {shape} != {len(devices)} devices"
-    )
-    dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices)
+    n = int(np.prod(shape))
+    assert n <= len(devices), f"mesh shape {shape} needs {n} devices, have {len(devices)}"
+    dev_array = mesh_utils.create_device_mesh(tuple(shape), devices=devices[:n])
     return Mesh(dev_array, tuple(axes))
 
 

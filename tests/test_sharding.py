@@ -89,3 +89,46 @@ def test_graft_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_context_parallel_encode(rng):
+    """Time-axis (sequence) parallel encode: interior shards bit-exact with
+    whole-clip processing (shard 0 warms up from a zero halo, like the first
+    streaming chunk)."""
+    import jax.numpy as jnp
+
+    from audio_generation_tpu.models import CausalVQAE
+    from audio_generation_tpu.parallel.context import context_parallel_encode
+
+    model = CausalVQAE(
+        in_channels=1,
+        n_blocks=2,
+        n_layers_per_block=2,
+        first_block_channels=4,
+        num_quantizers=2,
+        codebook_size=16,
+        codebook_dim=8,
+        strides=(2, 3),  # stride 6
+        wavelet_decoders=(False, False),
+        input_format="n c l",
+        use_som=False,
+        vq_type="ema",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 1, 60)))
+    mesh = make_mesh((4,), ("time",))
+
+    frames_per_shard = 50
+    L = 4 * frames_per_shard * 6
+    x = rng.normal(size=(2, L)).astype(np.float32) * 0.3
+
+    idx_cp = np.asarray(
+        context_parallel_encode(model, variables, jnp.asarray(x), mesh, "time", ctx_frames=30)
+    )
+
+    (_, _, idx_full), _ = model.apply(
+        variables, jnp.asarray(x)[:, None, :], method="encode", mutable=["codebook"]
+    )
+    idx_full = np.asarray(idx_full)
+    assert idx_cp.shape == idx_full.shape
+    # all shards except shard 0 are exact
+    np.testing.assert_array_equal(idx_cp[:, frames_per_shard:], idx_full[:, frames_per_shard:])
