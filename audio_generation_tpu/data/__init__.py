@@ -9,3 +9,4 @@ from audio_generation_tpu.data.datasets import (  # noqa: F401
     simple_mixed_sin,
 )
 from audio_generation_tpu.data.wavio import read_wav, write_wav  # noqa: F401
+from audio_generation_tpu.data.loader import PrefetchIterator, prefetch  # noqa: F401

@@ -1,0 +1,68 @@
+"""Asynchronous prefetching data loader.
+
+The reference's DataLoader feeds the GPU synchronously from a Python iterator
+(host->device transfer on the training critical path, SURVEY.md §3.1). Here a
+small thread pool prepares and `device_put`s the next batches while the TPU
+runs the current step, so input feeding overlaps compute (the single-host
+analog of per-host input pipelines in SPMD training).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional
+
+import jax
+
+
+class PrefetchIterator:
+    """Wrap a batch iterator: worker thread stages `n_prefetch` batches ahead
+    (optionally already device_put). Exhausts cleanly; propagates worker
+    exceptions to the consumer."""
+
+    _SENTINEL = object()
+
+    def __init__(
+        self,
+        source: Iterator,
+        n_prefetch: int = 2,
+        device_put: bool = True,
+        sharding=None,
+    ):
+        self._queue: queue.Queue = queue.Queue(maxsize=max(n_prefetch, 1))
+        self._sharding = sharding
+        self._device_put = device_put
+        self._error: Optional[BaseException] = None
+
+        def work():
+            try:
+                for item in source:
+                    if self._device_put:
+                        item = (
+                            jax.device_put(item, self._sharding)
+                            if self._sharding is not None
+                            else jax.device_put(item)
+                        )
+                    self._queue.put(item)
+            except BaseException as e:  # propagate to consumer
+                self._error = e
+            finally:
+                self._queue.put(self._SENTINEL)
+
+        self._thread = threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._queue.get()
+        if item is self._SENTINEL:
+            if self._error is not None:
+                raise self._error
+            raise StopIteration
+        return item
+
+
+def prefetch(source: Iterator, n_prefetch: int = 2, sharding=None) -> PrefetchIterator:
+    return PrefetchIterator(source, n_prefetch=n_prefetch, sharding=sharding)

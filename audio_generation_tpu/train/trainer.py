@@ -222,18 +222,30 @@ class Trainer:
             self._np_rng.shuffle(idx)
         B, A = self.cfg.batch_size, self.cfg.accumulation_steps
         need = B * A
-        pos = 0
-        while pos + need <= len(idx):
-            items = [self.dataset[int(i)][0] for i in idx[pos : pos + need]]
-            batch = collate(
-                items,
-                size=self.crop_size,
-                rng=self._np_rng,
-                resample_from=self.data_sample_rate,
-                resample_to=self.cfg.sample_rate,
-            )
-            yield batch.reshape(A, B, self.crop_size)
-            pos += need
+
+        def gen():
+            pos = 0
+            while pos + need <= len(idx):
+                items = [self.dataset[int(i)][0] for i in idx[pos : pos + need]]
+                batch = collate(
+                    items,
+                    size=self.crop_size,
+                    rng=self._np_rng,
+                    resample_from=self.data_sample_rate,
+                    resample_to=self.cfg.sample_rate,
+                )
+                yield batch.reshape(A, B, self.crop_size)
+                pos += need
+
+        # overlap host collation + transfer with device compute
+        from audio_generation_tpu.data.loader import prefetch
+
+        sharding = None
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            sharding = NamedSharding(self.mesh, P(None, "data", None))
+        yield from prefetch(gen(), n_prefetch=2, sharding=sharding)
 
     def _shard_batch(self, batch):
         if self.mesh is None:
@@ -259,7 +271,7 @@ class Trainer:
             if batch is None:
                 break
             self.state, metrics, sample = step_fn(
-                self.state, self._shard_batch(batch), jnp.asarray(codebook_n, jnp.int32)
+                self.state, batch, jnp.asarray(codebook_n, jnp.int32)
             )
             metrics = jax.device_get(metrics)
             if metrics.pop("nan_flag", 0.0) > 0:
