@@ -115,3 +115,17 @@ def test_sound_to_codebooks(rng):
     assert grid.shape == (10, 4, 4)  # 10 latent frames, 4x4 SOM grid
     assert (grid >= 0).all()
     assert grid.sum() > 0
+
+
+def test_plot_waveform_and_save_samples(tmp_path, rng):
+    import pytest
+
+    pytest.importorskip("matplotlib")
+    from audio_generation_tpu.utils.plotting import plot_waveform, save_samples
+
+    wave = rng.normal(size=(1, 1000)).astype(np.float32)
+    p = str(tmp_path / "w.png")
+    plot_waveform(wave, 16000, p)
+    assert os.path.exists(p)
+    name = save_samples(wave, wave * 0.5, 0, 1, str(tmp_path), 16000)
+    assert os.path.exists(name)
