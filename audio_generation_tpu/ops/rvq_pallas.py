@@ -13,6 +13,14 @@ SURVEY.md §2.10, §7 stage 3).
 Used on the inference/encode path (no codebook updates). Indices are
 bit-exact with the scan path: same distance formula (||c||^2 - 2 x.c), same
 f32 precision, same first-minimum argmin tie-breaking.
+
+STATUS (round 1, v5e measurement): bit-exact on hardware, but ~8x slower than
+the XLA scan path (396 ms vs 48 ms for 4800 frames x 8 levels x 1024 x 512) —
+the per-tile level loop leaves the MXU idle between short matmuls. Kept as a
+validated alternative (`CausalVQAE(use_pallas_rvq=True)`); the XLA scan
+remains the default. TODO(round 2): keep codebooks VMEM-resident across grid
+steps (constant index_map), fuse dist+argmin across bigger N tiles, try
+bf16 distance with f32 refine.
 """
 from __future__ import annotations
 
