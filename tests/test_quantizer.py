@@ -213,3 +213,18 @@ def test_som_grid_property():
     q = make_q(codebook_sizes=512, use_som=True)
     h, w = q.som_grid
     assert h * w == 512
+
+
+def test_prioritize_early_weighting(rng):
+    """prioritize_early weights early-level commit losses more heavily
+    (reference flag plumbed at networks/training.py:264,325-328)."""
+    q = make_q()
+    state = q.init_state(jax.random.key(20))
+    x = jnp.asarray(rng.normal(size=(1, 20, 8)), dtype=jnp.float32)
+    _, _, c_plain, _ = q(state, x, prioritize_early=False)
+    _, _, c_early, _ = q(state, x, prioritize_early=True)
+    # both positive, and the weighting changes the value (early levels carry
+    # the largest residuals, so weighting them more raises the mean)
+    assert float(c_plain) > 0 and float(c_early) > 0
+    assert not np.isclose(float(c_plain), float(c_early))
+    assert float(c_early) > float(c_plain)
