@@ -117,3 +117,29 @@ def test_introduce_disharmony(rng):
     assert y.shape == x.shape
     assert not np.allclose(x, y)
     assert np.isfinite(y).all()
+
+
+def test_prefetch_iterator(rng):
+    from audio_generation_tpu.data import prefetch
+
+    batches = [rng.normal(size=(2, 8)).astype(np.float32) for _ in range(5)]
+    out = list(prefetch(iter(batches), n_prefetch=2))
+    assert len(out) == 5
+    for a, b in zip(out, batches):
+        np.testing.assert_allclose(np.asarray(a), b)
+
+
+def test_prefetch_propagates_errors():
+    from audio_generation_tpu.data import prefetch
+
+    def bad():
+        yield np.zeros((1,), np.float32)
+        raise RuntimeError("boom")
+
+    it = prefetch(bad(), n_prefetch=1)
+    next(it)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="boom"):
+        for _ in it:
+            pass
