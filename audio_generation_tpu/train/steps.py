@@ -243,7 +243,7 @@ class StepBuilder:
 
             mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
             mean_metrics["nan_flag"] = jnp.any(
-                jnp.isnan(metrics["generator_total"])
+                ~jnp.isfinite(metrics["generator_total"])
             ).astype(jnp.float32)
 
             new_state = state.replace(

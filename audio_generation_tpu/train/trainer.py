@@ -210,9 +210,11 @@ class Trainer:
         (reference intent at training.py:399-409)."""
         gen = self.loss_breakdown["generator"]
         values = [gen.get(f"{n}_g_loss") for n in self.disc_names]
-        known = [v for v in values if v is not None]
+        known = [v for v in values if v is not None and np.isfinite(v)]
         mean = float(np.mean(known)) if known else 1.0
-        self.d_energies = [v if v is not None else mean for v in values]
+        self.d_energies = [
+            v if (v is not None and np.isfinite(v)) else mean for v in values
+        ]
 
     # ------------------------------------------------------------------ #
     def _data_iterator(self, shuffle=True):

@@ -52,11 +52,14 @@ def approximate_square_root(x: int) -> tuple[int, int]:
 
 
 def np_softmax(values) -> np.ndarray:
-    """Numerically-shifted softmax over a 1-D list/array
+    """Numerically-stable softmax over a 1-D list/array
     (reference: networks/utils.py:28-32; used to sample one discriminator
-    per mini-epoch at networks/training.py:280-283)."""
+    per mini-epoch at networks/training.py:280-283). The reference shifts by
+    the *minimum*, which overflows exp() for wide loss ranges (early GAN
+    training); shifting by the maximum is the standard stable form."""
     arr = np.asarray(values, dtype=np.float64)
-    arr = arr - arr.min()
+    arr = np.where(np.isfinite(arr), arr, np.nanmax(arr[np.isfinite(arr)]) if np.isfinite(arr).any() else 0.0)
+    arr = arr - arr.max()
     e = np.exp(arr)
     return e / e.sum()
 
