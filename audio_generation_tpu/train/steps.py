@@ -159,6 +159,49 @@ class StepBuilder:
         return total, (new_spectral, metrics)
 
     # ------------------------------------------------------------------ #
+    def micro_batch(self, active, params, d_params_list, carry, inputs):
+        """One micro-batch: augmentations + both grad computations.
+
+        carry = (codebook, disc_states, codebook_n); inputs = (x, rng,
+        update_codebook flag). Returns (carry', (g_grads, d_grads, metrics,
+        y, x)). Exposed as a method so tests can reproduce the accumulation
+        law independently of the scan."""
+        cfg = self.cfg
+        gan = len(active) > 0
+        codebook, disc_states, codebook_n = carry
+        x, rng, update_codebook = inputs
+
+        if cfg.frequency_filter is not None:
+            cutoff = cfg.frequency_filter * (
+                1.0 + codebook_n.astype(jnp.float32) * cfg.codebook_frequency_scale
+            )
+            x = lowpass_biquad(x, float(cfg.sample_rate), cutoff)
+        if cfg.noise_aug_scale:
+            x_aug = x + cfg.noise_aug_scale * jax.random.normal(rng, x.shape)
+        else:
+            x_aug = x
+
+        (g_loss, (new_codebook, y, g_metrics)), g_grads = jax.value_and_grad(
+            self._generator_losses, has_aux=True
+        )(params, codebook, x, x_aug, codebook_n, update_codebook, disc_states, active)
+
+        if gan:
+            (d_loss, (new_spectral, d_metrics)), d_grads = jax.value_and_grad(
+                self._discriminator_losses, has_aux=True
+            )(d_params_list, disc_states, x, y, active)
+            disc_states = tuple(
+                ds.replace(spectral=new_spectral[di]) if di in new_spectral else ds
+                for di, ds in enumerate(disc_states)
+            )
+        else:
+            d_grads = None
+            d_metrics = {}
+
+        metrics = dict(g_metrics)
+        metrics.update(d_metrics)
+        metrics["generator_total"] = g_loss
+        return (new_codebook, disc_states, codebook_n), (g_grads, d_grads, metrics, y, x)
+
     def build(self, active: tuple[int, ...]):
         """Build (and cache) the jitted optimizer step for a static set of
         active discriminator indices (empty tuple = no GAN)."""
@@ -168,41 +211,6 @@ class StepBuilder:
 
         cfg = self.cfg
         gan = len(active) > 0
-
-        def one_micro_batch(params, d_params_list, carry, inputs):
-            codebook, disc_states, codebook_n = carry
-            x, rng, update_codebook = inputs
-
-            if cfg.frequency_filter is not None:
-                cutoff = cfg.frequency_filter * (
-                    1.0 + codebook_n.astype(jnp.float32) * cfg.codebook_frequency_scale
-                )
-                x = lowpass_biquad(x, float(cfg.sample_rate), cutoff)
-            if cfg.noise_aug_scale:
-                x_aug = x + cfg.noise_aug_scale * jax.random.normal(rng, x.shape)
-            else:
-                x_aug = x
-
-            (g_loss, (new_codebook, y, g_metrics)), g_grads = jax.value_and_grad(
-                self._generator_losses, has_aux=True
-            )(params, codebook, x, x_aug, codebook_n, update_codebook, disc_states, active)
-
-            if gan:
-                (d_loss, (new_spectral, d_metrics)), d_grads = jax.value_and_grad(
-                    self._discriminator_losses, has_aux=True
-                )(d_params_list, disc_states, x, y, active)
-                disc_states = tuple(
-                    ds.replace(spectral=new_spectral[di]) if di in new_spectral else ds
-                    for di, ds in enumerate(disc_states)
-                )
-            else:
-                d_grads = None
-                d_metrics = {}
-
-            metrics = dict(g_metrics)
-            metrics.update(d_metrics)
-            metrics["generator_total"] = g_loss
-            return (new_codebook, disc_states, codebook_n), (g_grads, d_grads, metrics, y, x)
 
         def step_fn(state: TrainState, batch, codebook_n):
             """batch: (accum, B, L) f32; codebook_n: traced int32."""
@@ -214,28 +222,48 @@ class StepBuilder:
 
             d_params_list = tuple(state.discriminators[di].params for di in active)
 
-            def scan_body(carry, inputs):
-                return one_micro_batch(state.params, d_params_list, carry, inputs)
+            # grad accumulation = SUM over micro-batches (torch semantics:
+            # backward() accumulates, no averaging — training.py:296-303).
+            # Accumulate in the scan CARRY: exactly one gradient copy per
+            # parameter set stays resident, instead of `accum` stacked copies
+            # (which at the reference config accum=32 would hold 32 full
+            # gradient pytrees in HBM). The (x, y) waveform-plot sample also
+            # rides the carry, keeping only the last micro-batch's pair.
+            g_zero = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            d_zero = jax.tree_util.tree_map(jnp.zeros_like, d_params_list)
+            sample0 = (jnp.zeros_like(batch[0]), jnp.zeros_like(batch[0]))
 
-            init = (state.codebook, state.discriminators, jnp.asarray(codebook_n, jnp.int32))
-            (codebook, disc_states, _), (g_grads, d_grads, metrics, ys, xs) = jax.lax.scan(
+            def scan_body(carry, inputs):
+                inner, g_acc, d_acc, _ = carry
+                inner, (g_grads, d_grads, metrics, y, x) = self.micro_batch(
+                    active, state.params, d_params_list, inner, inputs
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g_grads)
+                if gan:
+                    d_acc = jax.tree_util.tree_map(jnp.add, d_acc, d_grads)
+                return (inner, g_acc, d_acc, (x, y)), metrics
+
+            init = (
+                (state.codebook, state.discriminators, jnp.asarray(codebook_n, jnp.int32)),
+                g_zero,
+                d_zero,
+                sample0,
+            )
+            ((inner, g_grad_sum, d_grad_sums, sample), metrics) = jax.lax.scan(
                 scan_body, init, (batch, rngs, update_flags)
             )
+            codebook, disc_states, _ = inner
 
-            # grad accumulation = SUM over micro-batches (torch semantics:
-            # backward() accumulates, no averaging — training.py:296-303)
-            g_grad_sum = jax.tree_util.tree_map(lambda g: jnp.sum(g, axis=0), g_grads)
             updates, opt_state = self.gen_tx.update(g_grad_sum, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
 
             new_disc_states = list(disc_states)
             if gan:
                 for pi, di in enumerate(active):
-                    d_grad_sum = jax.tree_util.tree_map(
-                        lambda g: jnp.sum(g, axis=0), d_grads[pi]
-                    )
                     ds = new_disc_states[di]
-                    d_updates, d_opt = self.disc_tx.update(d_grad_sum, ds.opt_state, ds.params)
+                    d_updates, d_opt = self.disc_tx.update(
+                        d_grad_sums[pi], ds.opt_state, ds.params
+                    )
                     new_disc_states[di] = ds.replace(
                         params=optax.apply_updates(ds.params, d_updates),
                         opt_state=d_opt,
@@ -254,8 +282,6 @@ class StepBuilder:
                 discriminators=tuple(new_disc_states),
                 rng=rng,
             )
-            # last micro-batch's (x, y) for the waveform plot artifact
-            sample = (xs[-1], ys[-1])
             return new_state, mean_metrics, sample
 
         jitted = jax.jit(step_fn, donate_argnums=(0,))

@@ -185,6 +185,63 @@ def test_nan_watchdog(tmp_path, tiny_dataset):
         tr.mini_epoch(tr._data_iterator())
 
 
+def test_grad_accum_carry_matches_stacked_sum(tmp_path, tiny_dataset):
+    """The in-scan carry accumulation must equal the naive stacked-grads sum
+    (the reference's backward()-accumulates semantics, training.py:296-303)."""
+    import optax
+
+    tr = make_trainer(tmp_path, tiny_dataset, gan=True)
+    batch = jnp.asarray(next(tr._data_iterator()))
+    active = (1,)
+    codebook_n = jnp.asarray(2, jnp.int32)
+    sb, cfg, state = tr.steps, tr.cfg, tr.state
+
+    def manual(state, batch, codebook_n):
+        # mirror step_fn's rng/flag derivation exactly
+        rng, sub = jax.random.split(state.rng)
+        accum = batch.shape[0]
+        rngs = jax.random.split(sub, accum)
+        flags = (jnp.arange(accum) % cfg.codebook_update_step) == 0
+        d_params_list = tuple(state.discriminators[di].params for di in active)
+        inner = (state.codebook, state.discriminators, codebook_n)
+        g_stack, d_stack = [], []
+        for i in range(accum):
+            inner, (g, d, _m, _y, _x) = sb.micro_batch(
+                active, state.params, d_params_list, inner, (batch[i], rngs[i], flags[i])
+            )
+            g_stack.append(g)
+            d_stack.append(d)
+        g_sum = jax.tree_util.tree_map(lambda *gs: sum(gs), *g_stack)
+        updates, _ = sb.gen_tx.update(g_sum, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        d_sums = jax.tree_util.tree_map(lambda *gs: sum(gs), *d_stack)
+        codebook, disc_states, _ = inner
+        new_d = []
+        for pi, di in enumerate(active):
+            ds = disc_states[di]
+            d_up, _ = sb.disc_tx.update(d_sums[pi], ds.opt_state, ds.params)
+            new_d.append(optax.apply_updates(ds.params, d_up))
+        return params, new_d, codebook
+
+    m_params, m_disc, m_codebook = jax.jit(manual)(state, batch, codebook_n)
+    new_state, _metrics, _sample = sb.build(active)(state, batch, codebook_n)
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_params), jax.tree_util.tree_leaves(new_state.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(m_disc[0]),
+        jax.tree_util.tree_leaves(new_state.discriminators[1].params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(m_codebook["state"].codebooks),
+        np.asarray(new_state.codebook["state"].codebooks),
+        rtol=2e-4, atol=1e-5,
+    )
+
+
 def test_config_yaml_roundtrip(tmp_path):
     cfg = tiny_config(tmp_path)
     import yaml
