@@ -78,6 +78,12 @@ class ResidualQuantizer:
     vq_cutoff_freq: float = 1.0
     use_som: bool = True
     som_kernel_type: str = "hard"  # "hard" | "gaussian"
+    differentiable_som: bool = False  # soft-assignment SOM (arXiv:2302.07950):
+    # the commit loss and the codebook update use softmax(-dist/T) assignment
+    # probabilities instead of the hard winner, so encoder gradients flow
+    # through the (neighborhood-shaped) assignment itself; emitted CODES stay
+    # hard argmin. BASELINE config #5; reference README.md:10.
+    som_temperature: float = 1.0
     ema_decay: float = 0.99
     codebook_lr: float = 0.3  # "base" batch-Kohonen learning rate
     commitment_weight: float = 0.25
@@ -176,6 +182,75 @@ class ResidualQuantizer:
         K = jnp.maximum(K, eye)
         return K * pair_mask
 
+    # ---- shared per-level search math (identical in both compiled paths,
+    # so inference indices/losses are bit-identical to the training step's) --
+    def _search_level(self, residual, codebook, smask):
+        """Nearest neighbor + one-hot lookup. Returns (idx, H, q, dist)."""
+        S = self.max_size
+        dots = jax.lax.dot_general(
+            residual,
+            codebook,
+            (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, S)
+        c_norm2 = jnp.sum(codebook * codebook, axis=-1)
+        dist = c_norm2[None, :] - 2.0 * dots  # ||r||^2 constant per row
+        dist = jnp.where(smask[None, :], dist, jnp.inf)
+        idx = jnp.argmin(dist, axis=-1)  # (N,)
+        # one-hot assignment matrix: every downstream lookup/update becomes
+        # a matmul (MXU) — no gathers or scatters on TPU.
+        H = jax.nn.one_hot(idx, S, dtype=jnp.float32)  # (N, S)
+        q = jax.lax.dot_general(
+            H, codebook, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (N, D)
+        return idx, H, q, dist
+
+    def _commit_level(self, residual, q, dist, smask):
+        """Per-level commit loss; returns (commit, assign) where assign is the
+        (stop-gradient) assignment matrix used for codebook updates (soft
+        probabilities under differentiable_som, else None -> use hard H)."""
+        D = self.dim
+        if self.differentiable_som:
+            logits = jnp.where(smask[None, :], -dist / self.som_temperature, -jnp.inf)
+            P = jax.nn.softmax(logits, axis=-1)  # (N, S)
+            r2 = jnp.sum(residual * residual, axis=-1)
+            soft_d2 = r2 + jnp.sum(P * jnp.where(smask[None, :], dist, 0.0), axis=-1)
+            return jnp.mean(soft_d2 / D), jax.lax.stop_gradient(P)
+        commit = jnp.mean(jnp.sum((residual - jax.lax.stop_gradient(q)) ** 2, axis=-1) / D)
+        return commit, None
+
+    def _quantize_inference(self, state, flat, bl, codebook_n, size_mask, level_ids, level_w):
+        """Update-free cascade: the same search/commit math as the training
+        path with all codebook-update matmuls structurally absent."""
+        nq, D = self.num_quantizers, self.dim
+        B, L = bl
+
+        def level_step(carry, inputs):
+            residual, quant_sum = carry
+            codebook, smask, lvl = inputs
+            active = lvl < codebook_n
+            idx, H, q, dist = self._search_level(residual, codebook, smask)
+            commit, _ = self._commit_level(residual, q, dist, smask)
+            a = active.astype(jnp.float32)
+            quant_sum = quant_sum + a * q
+            residual = residual - a * jax.lax.stop_gradient(q)
+            idx_out = jnp.where(active, idx, 0)
+            return (residual, quant_sum), (idx_out, commit * a)
+
+        init = (flat, jnp.zeros_like(flat))
+        (_, quant_sum), (indices, commits) = jax.lax.scan(
+            level_step, init, (state.codebooks, size_mask, level_ids)
+        )
+        x_q = flat + jax.lax.stop_gradient(quant_sum - flat)
+        x_q = x_q.reshape(B, L, D)
+        w = level_w * (level_ids < codebook_n)
+        commit_loss = self.commitment_weight * jnp.sum(commits * level_w) / jnp.maximum(
+            jnp.sum(w), 1.0
+        )
+        indices = indices.reshape(nq, B, L).transpose(1, 2, 0)  # (B, L, nq)
+        return x_q, indices, commit_loss, state
+
     # ---- forward ----------------------------------------------------------
     def __call__(
         self,
@@ -200,9 +275,17 @@ class ResidualQuantizer:
         if codebook_n is None:
             codebook_n = nq
         codebook_n = jnp.asarray(codebook_n, dtype=jnp.int32)
+        # When the caller passes a static Python False (the inference path),
+        # skip the update computation STRUCTURALLY. Merely gating it with
+        # `where` keeps the W = H@K (N x S x S) and sums = W^T r (S x N x D)
+        # matmuls in the compiled graph — float mul-by-zero is not
+        # algebraically removable and the new state is a live output — which
+        # costs ~2.5x the nearest-neighbor search itself. A traced flag (the
+        # training path) keeps the gated form so one compiled step serves
+        # both update settings.
+        static_no_update = isinstance(update_codebook, bool) and not update_codebook
         update_flag = jnp.asarray(update_codebook)
 
-        K = self._neighborhood_kernel(state.cutoff)  # (nq, S, S)
         size_mask = jnp.asarray(self._size_mask())  # (nq, S)
         level_ids = jnp.arange(nq)
 
@@ -210,6 +293,13 @@ class ResidualQuantizer:
             level_w = jnp.arange(nq, 0, -1, dtype=jnp.float32)
         else:
             level_w = jnp.ones((nq,), dtype=jnp.float32)
+
+        if static_no_update:
+            return self._quantize_inference(
+                state, flat, (B, L), codebook_n, size_mask, level_ids, level_w
+            )
+
+        K = self._neighborhood_kernel(state.cutoff)  # (nq, S, S)
 
         def level_step(carry, inputs):
             residual, quant_sum = carry
@@ -235,15 +325,32 @@ class ResidualQuantizer:
                 precision=jax.lax.Precision.HIGHEST,
             )  # (N, D)
 
-            # per-level commit loss (encoder-side); codebook learns via
-            # EMA/Kohonen below, not via gradients.
-            commit = jnp.mean(jnp.sum((residual - jax.lax.stop_gradient(q)) ** 2, axis=-1) / D)
+            if self.differentiable_som:
+                # soft assignments: P = softmax(-||r - c||^2 / T). The per-row
+                # ||r||^2 constant cancels in the softmax, so `dist` works
+                # as the (negated) logit directly. Gradients reach the encoder
+                # both through the quadratic form AND through P itself — the
+                # differentiable-SOM gradient (arXiv:2302.07950).
+                logits = jnp.where(smask[None, :], -dist / self.som_temperature, -jnp.inf)
+                P = jax.nn.softmax(logits, axis=-1)  # (N, S)
+                # E_P ||r - c||^2 = ||r||^2 + sum_j P_j (||c_j||^2 - 2 r.c_j)
+                r2 = jnp.sum(residual * residual, axis=-1)
+                soft_d2 = r2 + jnp.sum(P * jnp.where(smask[None, :], dist, 0.0), axis=-1)
+                commit = jnp.mean(soft_d2 / D)
+                assign = jax.lax.stop_gradient(P)
+            else:
+                # per-level commit loss (encoder-side); codebook learns via
+                # EMA/Kohonen below, not via gradients.
+                commit = jnp.mean(
+                    jnp.sum((residual - jax.lax.stop_gradient(q)) ** 2, axis=-1) / D
+                )
+                assign = H
 
             # ---- codebook update (pure, matmul-shaped) ----
             W = jax.lax.dot_general(
-                H, K_q, (((1,), (0,)), ((), ())),
+                assign, K_q, (((1,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
-            )  # (N, S) neighborhood weights of each winner
+            )  # (N, S) neighborhood weights of each (soft) winner
             counts = jnp.sum(W, axis=0)  # (S,)
             sums = jax.lax.dot_general(
                 W, residual, (((0,), (0,)), ((), ())),

@@ -47,6 +47,8 @@ class CausalVQAE(nn.Module):
     depthwise: bool = False
     use_som: bool = True
     som_kernel_type: str = "hard"
+    differentiable_som: bool = False
+    som_temperature: float = 1.0
     wavelet_decoders: Any = (False, True, False, False, False)
     bottleneck: str = "rvq"  # "rvq" | "energy" | "none"
     energy_kwargs: Any = None  # dict for the energy bottleneck
@@ -68,6 +70,8 @@ class CausalVQAE(nn.Module):
             vq_cutoff_freq=self.vq_cutoff_freq,
             use_som=self.use_som,
             som_kernel_type=self.som_kernel_type,
+            differentiable_som=self.differentiable_som,
+            som_temperature=self.som_temperature,
         )
 
     def _channel_sizes(self):
@@ -266,6 +270,8 @@ def model_from_config(cfg) -> CausalVQAE:
         depthwise=cfg.depthwise,
         use_som=cfg.use_som,
         som_kernel_type=cfg.som_kernel_type,
+        differentiable_som=cfg.differentiable_som,
+        som_temperature=cfg.som_temperature,
         wavelet_decoders=tuple(cfg.wavelet_decoders)
         if isinstance(cfg.wavelet_decoders, (list, tuple))
         else cfg.wavelet_decoders,

@@ -215,6 +215,79 @@ def test_som_grid_property():
     assert h * w == 512
 
 
+def make_diff_som(**kw):
+    defaults = dict(
+        quantizer_class="ema",
+        num_quantizers=2,
+        dim=8,
+        codebook_sizes=16,  # 4x4 grid
+        use_som=True,
+        som_kernel_type="gaussian",
+        differentiable_som=True,
+        som_temperature=0.5,
+        vq_cutoff_freq=1.0,
+    )
+    defaults.update(kw)
+    return ResidualQuantizer(**defaults)
+
+
+def test_differentiable_som_gradient_flows_through_assignments(rng):
+    """The soft-SOM commit loss must carry gradient through the assignment
+    probabilities — its input-gradient differs from the hard-VQ commit
+    gradient on the same state (arXiv:2302.07950; BASELINE config #5)."""
+    q_soft = make_diff_som()
+    q_hard = make_diff_som(differentiable_som=False)
+    state = q_soft.init_state(jax.random.key(21))
+    x = jnp.asarray(rng.normal(size=(1, 12, 8)), dtype=jnp.float32)
+
+    def commit_of(q):
+        def f(x):
+            _, _, commit, _ = q(state, x)
+            return commit
+        return jax.grad(f)(x)
+
+    g_soft = np.asarray(commit_of(q_soft))
+    g_hard = np.asarray(commit_of(q_hard))
+    assert np.isfinite(g_soft).all()
+    assert np.abs(g_soft).sum() > 0
+    assert not np.allclose(g_soft, g_hard)
+
+
+def test_differentiable_som_codes_stay_hard_argmin(rng):
+    """Soft assignments shape losses/updates; emitted CODES remain the hard
+    nearest neighbor (the codec bitstream is unchanged by the flag)."""
+    q_soft = make_diff_som()
+    q_hard = make_diff_som(differentiable_som=False)
+    state = q_soft.init_state(jax.random.key(22))
+    x = jnp.asarray(rng.normal(size=(2, 10, 8)), dtype=jnp.float32)
+    _, idx_soft, _, _ = q_soft(state, x)
+    _, idx_hard, _, _ = q_hard(state, x)
+    np.testing.assert_array_equal(np.asarray(idx_soft), np.asarray(idx_hard))
+
+
+def test_differentiable_som_update_trains_and_anneals(rng):
+    """The soft neighborhood update must (a) pull codebooks toward the data
+    and (b) sharpen toward plain VQ as the cutoff anneals x0.95/epoch."""
+    q = make_diff_som(num_quantizers=1, ema_decay=0.5)
+    state = q.init_state(jax.random.key(23))
+    target = np.zeros((1, 64, 8), dtype=np.float32)
+    target[..., 0] = 3.0
+    x = jnp.asarray(target)
+    err0 = None
+    for step in range(40):
+        xq, _, _, state = q(state, x, update_codebook=True)
+        state = q.update_cutoff(state, ratio=0.95)
+        if step == 0:
+            err0 = float(jnp.mean((x - xq) ** 2))
+    xq, _, _, _ = q(state, x)
+    err1 = float(jnp.mean((x - xq) ** 2))
+    assert err1 < err0
+    # annealed kernel is (near-)diagonal: plain-VQ limit
+    K = np.asarray(q._neighborhood_kernel(state.cutoff))[0]
+    off_diag = K - np.diag(np.diag(K))
+    assert off_diag.max() < 0.1
+
+
 def test_prioritize_early_weighting(rng):
     """prioritize_early weights early-level commit losses more heavily
     (reference flag plumbed at networks/training.py:264,325-328)."""
@@ -228,3 +301,26 @@ def test_prioritize_early_weighting(rng):
     assert float(c_plain) > 0 and float(c_early) > 0
     assert not np.isclose(float(c_plain), float(c_early))
     assert float(c_early) > float(c_plain)
+
+
+def test_static_inference_path_bit_identical_to_traced(rng):
+    """The structurally update-free inference path (static update=False) must
+    be BIT-identical to the traced-flag path evaluated with update=False —
+    same search math, same precision, same scan order."""
+    for q in [make_q(), make_q(use_som=True, som_kernel_type="hard"), make_diff_som()]:
+        state = q.init_state(jax.random.key(30))
+        x = jnp.asarray(rng.normal(size=(2, 9, 8)), dtype=jnp.float32)
+        xq_s, idx_s, c_s, st_s = jax.jit(lambda s, x: q(s, x, update_codebook=False))(state, x)
+
+        @jax.jit
+        def traced(s, x, flag):
+            return q(s, x, update_codebook=flag)
+
+        xq_t, idx_t, c_t, st_t = traced(state, x, jnp.asarray(False))
+        np.testing.assert_array_equal(np.asarray(xq_s), np.asarray(xq_t))
+        np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_t))
+        np.testing.assert_array_equal(np.asarray(c_s), np.asarray(c_t))
+        # static path must not touch state at all
+        np.testing.assert_array_equal(np.asarray(st_s.codebooks), np.asarray(state.codebooks))
+        np.testing.assert_array_equal(np.asarray(st_s.usage), np.asarray(state.usage))
+        np.testing.assert_array_equal(np.asarray(st_s.ema_counts), np.asarray(state.ema_counts))
