@@ -46,6 +46,8 @@ class VAEConfig:
     depthwise: bool = False
     use_som: bool = True
     som_kernel_type: str = "hard"  # "hard" | "gaussian"
+    differentiable_som: bool = False  # gradient-path SOM (arXiv:2302.07950)
+    som_temperature: float = 1.0
     wavelet_decoders: Any = field(
         default_factory=lambda: [False, True, False, False, False]
     )
@@ -93,6 +95,8 @@ class TrainerConfig:
     pre_emphasis: Optional[float] = 0.97
     # TPU-specific:
     seed: int = 0
+    crop_size: Optional[int] = None  # training crop in samples; default is the
+    # reference's 72000 @ 48 kHz scaled to sample_rate (utils.py:149-174)
     mesh_shape: Optional[Sequence[int]] = None  # e.g. [8] or [4, 2]
     mesh_axes: Sequence[str] = ("data",)
     debug_nans: bool = False  # jax.debug_nans mode (SURVEY.md §5.2): trap the
@@ -132,6 +136,9 @@ class ExperimentConfig:
     dataset_path: str = ""
     sample_rate: int = 24000
     use_discriminator: bool = True
+    discriminator_bank: str = "full"  # "full" (reference bank,
+    # networks/training.py:570-576) | "small" (same architecture, shrunk
+    # channels — quick experiments / CPU smoke runs)
     scratch_train: bool = False
     lr: float = 5e-4
     scheduler_warmup: int = 100

@@ -75,3 +75,56 @@ def shard_params(params, mesh: Mesh):
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree over the mesh."""
     return jax.device_put(tree, NamedSharding(mesh, P()))
+
+
+def shard_by_shape(tree, mesh: Mesh):
+    """Shard every leaf of a pytree by the tensor-parallel shape rules
+    (`_param_spec`); leaves that match no rule are replicated. Used for both
+    params and optimizer state (optax moments mirror the param shapes, so the
+    same rule keeps them co-sharded with their parameters)."""
+    def place(path, value):
+        if not hasattr(value, "shape"):
+            return value
+        spec = _param_spec(jax.tree_util.keystr(path), value, mesh)
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, tree)
+
+
+def shard_codebook(codebook, mesh: Mesh):
+    """Shard quantizer state over 'model': codebook ENTRIES (the S axis of
+    (nq, S, D) codebooks/ema_means and (nq, S) counts/usage) are distributed
+    across the model axis. The RVQ distance computation then runs with each
+    shard scoring its own entries; XLA inserts the cross-shard argmin combine.
+    Scalars (cutoff) and non-divisible leaves stay replicated."""
+    if "model" not in mesh.axis_names:
+        return jax.device_put(codebook, NamedSharding(mesh, P()))
+    msize = mesh.shape["model"]
+
+    def place(value):
+        if not hasattr(value, "shape"):
+            return value
+        if value.ndim == 3 and value.shape[1] % msize == 0:
+            spec = P(None, "model", None)
+        elif value.ndim == 2 and value.shape[1] % msize == 0:
+            spec = P(None, "model")
+        else:
+            spec = P()
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, codebook)
+
+
+def shard_train_state(state, mesh: Mesh):
+    """Place a TrainState on the mesh: tensor-parallel params/opt-state (when
+    a 'model' axis exists; fully replicated otherwise), entry-sharded
+    codebooks, replicated discriminators and counters. Data parallelism comes
+    from batch sharding (`batch_sharding`), not from state placement."""
+    return state.replace(
+        step=replicate(state.step, mesh),
+        params=shard_by_shape(state.params, mesh),
+        codebook=shard_codebook(state.codebook, mesh),
+        opt_state=shard_by_shape(state.opt_state, mesh),
+        discriminators=replicate(state.discriminators, mesh),
+        rng=replicate(state.rng, mesh),
+    )

@@ -83,7 +83,12 @@ class Trainer:
             )
         self.dataset = dataset
         self.data_sample_rate = data_sample_rate or config.sample_rate
-        self.crop_size = 72000 if cfg.sample_rate >= 44100 else 72000 * cfg.sample_rate // 48000
+        if cfg.crop_size is not None:
+            self.crop_size = int(cfg.crop_size)
+        else:
+            self.crop_size = (
+                72000 if cfg.sample_rate >= 44100 else 72000 * cfg.sample_rate // 48000
+            )
         # keep crops divisible by the codec stride so shapes stay exact
         self.model = model_from_config(config.vae)
         stride = self.model.scale_factor
@@ -94,7 +99,9 @@ class Trainer:
             if discriminators is not None:
                 self.discriminators, self.disc_names = discriminators
             else:
-                self.discriminators, self.disc_names = build_discriminators()
+                self.discriminators, self.disc_names = build_discriminators(
+                    small=(config.discriminator_bank == "small")
+                )
             nq = config.vae.num_quantizers
             nq_per_d = max(nq // (len(self.discriminators) - 1), 1)
             # codebook_options ties bitrate to the chosen discriminator
@@ -116,6 +123,18 @@ class Trainer:
             self.model, self.discriminators, self.disc_names, cfg, self.run,
             self.gen_tx, self.disc_tx,
         )
+        # config-driven multi-chip training: build the mesh from
+        # trainer_args.mesh_shape/mesh_axes (TPU-native scaling; the reference
+        # is single-device, networks/training.py:537) unless one was injected.
+        if mesh is None and cfg.mesh_shape is not None:
+            from audio_generation_tpu.parallel.mesh import make_mesh
+
+            mesh = make_mesh(tuple(cfg.mesh_shape), tuple(cfg.mesh_axes))
+            if "data" in mesh.axis_names:
+                assert cfg.batch_size % mesh.shape["data"] == 0, (
+                    f"batch_size {cfg.batch_size} not divisible by data axis "
+                    f"{mesh.shape['data']}"
+                )
         self.mesh = mesh
 
         self.state = self._init_state(jax.random.key(cfg.seed))
@@ -152,7 +171,7 @@ class Trainer:
                     opt_state=self.disc_tx.init(dvars["params"]),
                 )
             )
-        return TrainState(
+        state = TrainState(
             step=jnp.asarray(0, jnp.int32),
             params=params,
             codebook=codebook,
@@ -160,12 +179,21 @@ class Trainer:
             discriminators=tuple(disc_states),
             rng=jax.random.key(self.cfg.seed + 1),
         )
+        if self.mesh is not None:
+            from audio_generation_tpu.parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, self.mesh)
+        return state
 
     def _maybe_resume(self):
         restored = self.ckpt.restore_latest(self.state)
         if restored is None:
             return
         state, meta, step = restored
+        if self.mesh is not None:
+            from audio_generation_tpu.parallel.mesh import shard_train_state
+
+            state = shard_train_state(state, self.mesh)
         self.state = state
         self.epoch = int(meta.get("epoch", 0))
         self.mini_epoch_i = int(meta.get("mini_epoch_i", 0))
@@ -307,6 +335,7 @@ class Trainer:
         n_mini_epochs = max(n_steps // (self.cfg.mini_epoch_length * self.cfg.batch_size), 1)
 
         quantizer = self.model.quantizer
+        last_saved = -1
         for _ in range(epochs):
             t0 = time.time()
             epoch_losses: list = []
@@ -340,10 +369,12 @@ class Trainer:
 
             if self.epoch % self.cfg.save_every == 0:
                 self.save_state()
+                last_saved = int(self.state.step)
             losses.extend(epoch_losses)
             self.epoch += 1
 
-        self.save_state()
+        if int(self.state.step) != last_saved:
+            self.save_state()
         self._save_loss_curve(losses)
         return losses
 

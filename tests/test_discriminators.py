@@ -73,8 +73,13 @@ def test_discriminator_trains_toy_gan(rng):
 
     from audio_generation_tpu import losses as L
 
-    disc = WaveFormDiscriminator(n_blocks=1)
-    t = np.arange(16384) / 16384
+    # scaled-down channel bank: the hinge-trainability law doesn't need the
+    # full 16..1024 channels, and the full bank dominated suite time (272 s)
+    disc = WaveFormDiscriminator(
+        n_blocks=1, channel_sizes=(8, 16, 16, 16, 16, 16, 16),
+        groups=(1, 4, 4, 4, 4, 1, 1),
+    )
+    t = np.arange(8192) / 8192
     real_np = np.sin(2 * np.pi * 60 * t).astype(np.float32)[None, :, None]
     real = jnp.asarray(real_np)
     fake = jnp.asarray(rng.normal(size=real_np.shape).astype(np.float32))

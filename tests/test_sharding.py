@@ -78,6 +78,147 @@ def test_shard_params_tensor_parallel():
     assert sharded["small"]["w"].sharding.spec == P()
 
 
+def _trainer_for_parity(tmp_path, mesh_cfg: dict, name: str):
+    """A tiny GAN trainer (same recipe as tests/test_trainer.py) with an
+    optional config-driven mesh."""
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.data import SyntheticAudio
+    from audio_generation_tpu.models.discriminators import (
+        STFTDiscriminator,
+        WaveFormDiscriminator,
+    )
+    from audio_generation_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig.from_dict(
+        {
+            "experiment_name": name,
+            "save_path_root": str(tmp_path) + "/",
+            "dataset": "synthetic",
+            "sample_rate": 24000,
+            "use_discriminator": True,
+            "scratch_train": True,
+            "lr": 1e-3,
+            "scheduler_warmup": 0,
+            "scheduler_total_iter": 100,
+            "vae_args": {
+                "in_channels": 1,
+                "num_quantizers": 4,
+                "codebook_size": 32,
+                "codebook_dim": 16,
+                "first_block_channels": 4,
+                "n_layers_per_block": 2,
+                "strides": [2, 3, 4],
+                "wavelet_decoders": [False, True, False],
+                "input_format": "n c l",
+                "use_som": True,
+                "som_kernel_type": "hard",
+                "vq_type": "ema",
+            },
+            "trainer_args": {
+                "batch_size": 8,
+                "accumulation_steps": 2,
+                "use_one_discriminator": True,
+                "mini_epoch_length": 2,
+                "spec_windows": [32, 64],
+                **mesh_cfg,
+            },
+        }
+    )
+    discs = (
+        [
+            WaveFormDiscriminator(n_blocks=1, channel_sizes=(4, 8, 8, 8, 8, 8, 8),
+                                  groups=(1, 2, 2, 2, 2, 1, 1)),
+            STFTDiscriminator(win_length=128, first_channel_size=4),
+        ],
+        ["waveform_discriminator", "stft_discriminator_128"],
+    )
+    tr = Trainer(
+        cfg,
+        dataset=SyntheticAudio(length=24 * 80, sample_rate=24000, n_items=16),
+        data_sample_rate=24000,
+        discriminators=discs,
+    )
+    tr.crop_size = 24 * 256
+    tr.state = tr._init_state(jax.random.key(0))
+    return tr
+
+
+@pytest.mark.slow
+def test_config_driven_dp_tp_step_matches_unsharded(tmp_path, rng):
+    """A full GAN train step on a config-built 4x2 (data x model) mesh must
+    match the single-device step numerically — tensor-parallel params +
+    entry-sharded codebooks + batch-sharded data are layout, not semantics."""
+    tr_mesh = _trainer_for_parity(tmp_path, {"mesh_shape": [4, 2], "mesh_axes": ["data", "model"]}, "m")
+    tr_ref = _trainer_for_parity(tmp_path, {}, "r")
+    assert tr_mesh.mesh is not None and dict(tr_mesh.mesh.shape) == {"data": 4, "model": 2}
+    assert tr_ref.mesh is None
+
+    # the 'model' axis must actually shard something (not vacuous)
+    specs = {
+        str(leaf.sharding.spec)
+        for leaf in jax.tree_util.tree_leaves(tr_mesh.state.params)
+        if hasattr(leaf, "sharding")
+    }
+    assert any("model" in s for s in specs), f"no tensor-parallel params: {specs}"
+    cb = tr_mesh.state.codebook["state"].codebooks
+    assert "model" in str(cb.sharding.spec)
+
+    batch_host = rng.normal(size=(2, 8, tr_mesh.crop_size)).astype(np.float32) * 0.1
+    active = (1,)
+    codebook_n = jnp.asarray(2, jnp.int32)
+
+    # Compare accumulated GRADIENTS (not params-after-Adam: Adam's first step
+    # is ~lr*sign(g), which both amplifies fp reduction-order noise on
+    # near-zero grads and *hides* gradient-scale bugs like a missing psum).
+    def make_grads_fn(sb):
+        @jax.jit
+        def f(state, batch, codebook_n):
+            rng, sub = jax.random.split(state.rng)
+            accum = batch.shape[0]
+            rngs = jax.random.split(sub, accum)
+            flags = (jnp.arange(accum) % sb.cfg.codebook_update_step) == 0
+            d_params_list = tuple(state.discriminators[di].params for di in active)
+            inner = (state.codebook, state.discriminators, codebook_n)
+            g_acc = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            d_acc = jax.tree_util.tree_map(jnp.zeros_like, d_params_list)
+            metrics = None
+            for i in range(accum):
+                inner, (g, d, metrics, _y, _x) = sb.micro_batch(
+                    active, state.params, d_params_list, inner, (batch[i], rngs[i], flags[i])
+                )
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                d_acc = jax.tree_util.tree_map(jnp.add, d_acc, d)
+            return g_acc, d_acc, inner[0], metrics
+
+        return f
+
+    sharded_batch = tr_mesh._shard_batch(batch_host)
+    g_m, d_m, cb_m, met_m = make_grads_fn(tr_mesh.steps)(tr_mesh.state, sharded_batch, codebook_n)
+    g_r, d_r, cb_r, met_r = make_grads_fn(tr_ref.steps)(tr_ref.state, jnp.asarray(batch_host), codebook_n)
+
+    np.testing.assert_allclose(
+        float(met_m["generator_total"]), float(met_r["generator_total"]), rtol=1e-4
+    )
+    for a, b in zip(jax.tree_util.tree_leaves(g_m), jax.tree_util.tree_leaves(g_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)  # per-leaf floor for near-zero grads
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3 * scale)
+    for a, b in zip(jax.tree_util.tree_leaves(d_m), jax.tree_util.tree_leaves(d_r)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(b).max(), 1e-3)
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=1e-3 * scale)
+    np.testing.assert_allclose(
+        np.asarray(cb_m["state"].codebooks), np.asarray(cb_r["state"].codebooks),
+        rtol=5e-4, atol=1e-5,
+    )
+
+    # and the FULL jitted dp x tp optimizer step must run and stay finite
+    new_m, metrics_m, _ = tr_mesh.steps.build(active)(tr_mesh.state, sharded_batch, codebook_n)
+    assert float(metrics_m["nan_flag"]) == 0.0
+    assert np.isfinite(float(metrics_m["generator_total"]))
+
+
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     """The driver's multi-chip validation path must run end to end."""
     import importlib.util
