@@ -1,0 +1,142 @@
+"""One-command parity evidence (BASELINE.json:5).
+
+Runs two checks and writes PARITY_r{N}.json at the repo root:
+
+  1. **Torch end-to-end waveform parity** — the reference generator stack
+     (networks/vae.py:204-305) rebuilt in torch (tools/torch_mirror.py) runs
+     the SAME weights as the flax CausalVQAE; records max abs/rel waveform
+     error (tolerance bar 1e-4 relative vs float64 torch).
+  2. **Backend bit-exact codebook indices** — one fixed clip encoded through
+     the flagship RVQ-8 codec on the default backend (the TPU when run in the
+     hardware environment) and on the host CPU backend; indices must match
+     bit-exactly (f32 HIGHEST-precision distance matmuls make the argmin
+     reduction-order independent).
+
+Usage: python tools/parity_check.py [--out PARITY_r02.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(__file__))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def torch_waveform_parity():
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from audio_generation_tpu.models import CausalVQAE
+    from torch_mirror import TorchCodec, transplant
+
+    cfg = dict(
+        in_channels=1, n_blocks=5, n_layers_per_block=4, first_block_channels=32,
+        codebook_dim=512, strides=(2, 3, 4, 4, 5),
+    )
+    model = CausalVQAE(
+        **{k: v for k, v in cfg.items() if k != "codebook_dim"},
+        codebook_dim=cfg["codebook_dim"],
+        wavelet_decoders=tuple([False] * 5),
+        input_format="n c l",
+        bottleneck="none",
+        num_quantizers=8,
+        codebook_size=1024,
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 1, 4800)))
+        tm = TorchCodec(**cfg)
+        transplant(tm, jax.device_get(variables["params"]))
+        tm.eval()
+
+        rng = np.random.default_rng(0)
+        x = (rng.normal(size=(1, 1, 24000)) * 0.3).astype(np.float32)
+        (y_flax, _, _), _ = jax.jit(
+            lambda v, x: model.apply(v, x, mutable=["codebook"])
+        )(variables, jnp.asarray(x))
+        y_flax = np.asarray(y_flax)
+    with torch.no_grad():
+        y_torch = tm(torch.from_numpy(x).double()).numpy()
+
+    abs_err = float(np.max(np.abs(y_flax - y_torch)))
+    scale = float(np.max(np.abs(y_torch)))
+    return {
+        "max_abs_err": abs_err,
+        "output_scale": scale,
+        "max_rel_err": abs_err / max(scale, 1e-12),
+        "pass": bool(abs_err <= 1e-4 * max(scale, 1.0) + 1e-5),
+        "shape": list(y_flax.shape),
+    }
+
+
+def backend_index_parity():
+    import jax
+    import jax.numpy as jnp
+
+    from audio_generation_tpu.models import CausalVQAE
+
+    model = CausalVQAE(
+        in_channels=1, num_quantizers=8, codebook_size=1024, codebook_dim=512,
+        input_format="n c l", vq_type="ema", use_som=True, som_kernel_type="hard",
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 1, 4800)))
+        variables = jax.device_get(variables)
+
+    t = np.arange(72000, dtype=np.float32) / 24000.0
+    clip = sum(
+        a * np.sin(2 * np.pi * f * t)
+        for a, f in [(0.4, 220.0), (0.25, 880.0), (0.15, 3520.0)]
+    ).astype(np.float32)[None, None, :]
+
+    def encode(device):
+        v = jax.device_put(variables, device)
+        x = jax.device_put(jnp.asarray(clip), device)
+        (z_q, commit, idx), _ = jax.jit(
+            lambda v, x: model.apply(v, x, method="encode", mutable=["codebook"])
+        )(v, x)
+        return np.asarray(idx)
+
+    default_dev = jax.devices()[0]
+    idx_default = encode(default_dev)
+    idx_cpu = encode(cpu)
+    equal = bool(np.array_equal(idx_default, idx_cpu))
+    return {
+        "default_backend": default_dev.platform,
+        "cpu_backend": cpu.platform,
+        "frames": int(idx_cpu.shape[1]),
+        "num_quantizers": int(idx_cpu.shape[2]),
+        "bit_exact": equal,
+        "mismatches": 0 if equal else int(np.sum(idx_default != idx_cpu)),
+        "pass": equal,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PARITY_r02.json")
+    args = ap.parse_args()
+
+    report = {
+        "torch_waveform_parity": torch_waveform_parity(),
+        "backend_index_parity": backend_index_parity(),
+    }
+    report["pass"] = bool(
+        report["torch_waveform_parity"]["pass"] and report["backend_index_parity"]["pass"]
+    )
+    out = os.path.join(os.path.dirname(__file__), "..", args.out)
+    with open(out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return 0 if report["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
