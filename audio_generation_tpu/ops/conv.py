@@ -29,6 +29,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 DIMENSION_NUMBERS = ("NWC", "WIO", "NWC")
 
@@ -135,13 +136,67 @@ def same_conv1d(x, w, b=None, *, groups: int = 1):
     return y
 
 
+def _upsample_phase_fold(kernel_size: int, stride: int):
+    """Static fold matrix for the phase decomposition of
+    nearest-upsample + 'same' conv (see causal_upsample_conv1d).
+
+    Output position t = s*u + r reads x[u + m(j, r)] with
+    m(j, r) = floor((r + j - left) / s): nearest upsampling repeats each input
+    sample s times, so all taps j with the same m hit the SAME input sample
+    and their weights sum. Returns (A, m_min, K') where A is the
+    (K'*s, k) 0/1 fold matrix ordered (i, r) with i = m - m_min."""
+    k, s = kernel_size, stride
+    left = (k - 1) // 2
+    ms = np.array([[(r + j - left) // s for j in range(k)] for r in range(s)])
+    m_min, m_max = int(ms.min()), int(ms.max())
+    kp = m_max - m_min + 1
+    A = np.zeros((kp * s, k), dtype=np.float32)
+    for r in range(s):
+        for j in range(k):
+            i = ms[r, j] - m_min
+            A[i * s + r, j] = 1.0
+    return A, m_min, kp
+
+
 def causal_upsample_conv1d(x, w, b=None, *, stride: int = 1):
     """Upsample-then-conv ("checkerboard-free") upsampler
     (reference: networks/vae.py:66-89). NOTE: like the reference, the 'same'
     conv after upsampling looks ahead (K-1)//2 upsampled samples — the
-    streaming runtime accounts for this lookahead explicitly."""
-    x = upsample_nearest(x, stride)
-    return same_conv1d(x, w, b)
+    streaming runtime accounts for this lookahead explicitly.
+
+    TPU-first lowering: instead of materializing the s-times-repeated input
+    and convolving at the upsampled rate (s x the FLOPs, s x the HBM traffic
+    of the mathematically necessary work), run the EXACT phase decomposition —
+    one conv at the LOW rate with kernel ~k/s+1 and s*Cout output channels
+    (repeated-sample taps pre-summed into the kernel), then depth-to-space.
+    Same function, ~k/(k/s+1) x fewer FLOPs, and s x wider output lanes for
+    the MXU. Equality vs the naive composition is tested to f32 tolerance."""
+    if stride == 1:
+        return same_conv1d(x, w, b)
+    k = w.shape[0]
+    cin, cout = w.shape[1], w.shape[2]
+    A, m_min, kp = _upsample_phase_fold(k, stride)
+    # fold in f32 (exact tap sums), then cast to the compute dtype
+    wp = jnp.einsum("pj,jio->pio", jnp.asarray(A), w.astype(jnp.float32))
+    wp = (
+        wp.reshape(kp, stride, cin, cout)
+        .transpose(0, 2, 1, 3)
+        .reshape(kp, cin, stride * cout)
+        .astype(x.dtype)
+    )
+    y = jax.lax.conv_general_dilated(
+        x,
+        wp,
+        window_strides=(1,),
+        padding=[(-m_min, kp - 1 + m_min)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        precision=_precision_for(x),
+    )  # (B, L, s*Cout)
+    bsz, L = y.shape[0], y.shape[1]
+    y = y.reshape(bsz, L, stride, cout).reshape(bsz, L * stride, cout)
+    if b is not None:
+        y = y + b
+    return y
 
 
 def conv2d_same(x, w, b=None, *, stride=(1, 1), padding=None):

@@ -174,3 +174,21 @@ def test_grouped_conv(rng):
     wt = torch.from_numpy(w.transpose(2, 1, 0))
     yt = torch.nn.functional.conv1d(xt, wt, groups=4)
     np.testing.assert_allclose(np.asarray(y), yt.numpy().transpose(0, 2, 1), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,kernel", [(2, 5), (3, 7), (4, 9), (5, 11), (4, 3)])
+def test_upsample_conv_phase_decomposition_exact(rng, stride, kernel):
+    """The phase-decomposed upsampler (one low-rate conv + depth-to-space)
+    must equal the naive nearest-upsample + same-conv composition — it is the
+    same function, relowered for the MXU."""
+    from audio_generation_tpu.ops.conv import same_conv1d
+
+    cin, cout, L = 6, 5, 41
+    x = jnp.asarray(rng.normal(size=(2, L, cin)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(kernel, cin, cout)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+    fast = causal_upsample_conv1d(x, w, b, stride=stride)
+    naive = same_conv1d(upsample_nearest(x, stride), w, b)
+    assert fast.shape == naive.shape == (2, L * stride, cout)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), rtol=1e-5, atol=1e-5)
