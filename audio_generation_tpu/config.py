@@ -51,6 +51,10 @@ class VAEConfig:
     wavelet_decoders: Any = field(
         default_factory=lambda: [False, True, False, False, False]
     )
+    bottleneck: str = "rvq"  # "rvq" | "energy" | "none" — the energy
+    # transformer is the reference's alternative bottleneck
+    # (networks/vae.py:347-348; README.md:56), here config-selectable
+    energy_kwargs: Optional[dict] = None  # EnergyTransformer ctor overrides
     # TPU-specific knobs (not in the reference):
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly training

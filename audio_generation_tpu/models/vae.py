@@ -275,5 +275,7 @@ def model_from_config(cfg) -> CausalVQAE:
         wavelet_decoders=tuple(cfg.wavelet_decoders)
         if isinstance(cfg.wavelet_decoders, (list, tuple))
         else cfg.wavelet_decoders,
+        bottleneck=cfg.bottleneck,
+        energy_kwargs=cfg.energy_kwargs,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -20,7 +20,27 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax >= 0.8 promotes shard_map out of experimental (and renames
+    # check_rep -> check_vma); support both without deprecation noise
+    import inspect
+
+    from jax import shard_map as _shard_map
+
+    _CHECK_KW = (
+        "check_vma"
+        if "check_vma" in inspect.signature(_shard_map).parameters
+        else "check_rep"
+    )
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+    _CHECK_KW = "check_rep"
+
+
+def shard_map(f, mesh, in_specs, out_specs):
+    return _shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **{_CHECK_KW: False}
+    )
 
 
 def context_parallel_encode(
@@ -70,7 +90,6 @@ def context_parallel_encode(
         mesh=mesh,
         in_specs=(P(), spec_x),
         out_specs=spec_out,
-        check_rep=False,
     )
     x = jax.device_put(x, NamedSharding(mesh, spec_x))
     variables = jax.device_put(variables, NamedSharding(mesh, P()))
