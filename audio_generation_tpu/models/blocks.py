@@ -18,11 +18,25 @@ from audio_generation_tpu.models.layers import (
 )
 from audio_generation_tpu.models.wavelets import WaveletLayer
 from audio_generation_tpu.ops import leaky_relu
+from audio_generation_tpu.ops.conv import fold_time, unfold_time
+
+
+def _pick_fold(length: int, channels: int, target_lanes: int = 128) -> int:
+    """Largest fold factor f with f*channels <= target_lanes and f | length.
+    1 when channels already fill the lanes (or nothing divides)."""
+    f = max(target_lanes // max(channels, 1), 1)
+    while f > 1 and length % f:
+        f //= 2
+    return f
 
 
 class CausalResidualBlock1d(nn.Module):
     """x + conv1x1(act(conv_k(x, dilation))) with optional depthwise
-    factorization (reference: networks/vae.py:91-117)."""
+    factorization (reference: networks/vae.py:91-117).
+
+    `fold` > 1: x is (B, L/fold, fold*channels) in the fold_time layout and
+    the whole block runs lane-folded (exact; see ops.conv.folded_causal_conv1d
+    — low-channel stages otherwise pad the 128-wide TPU lane dim 2-4x)."""
 
     channels: int
     kernel_size: int = 7
@@ -32,8 +46,9 @@ class CausalResidualBlock1d(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: int = 1):
         if self.depthwise:
+            assert fold == 1, "depthwise + folded not supported"
             h = CausalConv1d(
                 features=x.shape[-1], kernel_size=1, groups=x.shape[-1], name="dw"
             )(x)
@@ -49,9 +64,9 @@ class CausalResidualBlock1d(nn.Module):
                 kernel_size=self.kernel_size,
                 dilation=self.dilation,
                 name="conv1",
-            )(x)
+            )(x, fold=fold)
         h = leaky_relu(h, 0.1)
-        h = CausalConv1d(features=self.channels, kernel_size=1, name="conv2")(h)
+        h = CausalConv1d(features=self.channels, kernel_size=1, name="conv2")(h, fold=fold)
         if self.dropout > 0 and not self.deterministic:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
         return x + h
@@ -66,17 +81,26 @@ class CausalEncoderBlock(nn.Module):
     stride: int
     n_layers: int = 4
     depthwise: bool = False
+    lane_fold: bool = True  # exact lane-folded residual stack when C < 128
 
     @nn.compact
     def __call__(self, x):
+        fold = _pick_fold(x.shape[1], x.shape[-1]) if (
+            self.lane_fold and not self.depthwise
+        ) else 1
+        c = x.shape[-1]
+        if fold > 1:
+            x = fold_time(x, fold)
         for i in range(self.n_layers - 1):
             x = CausalResidualBlock1d(
-                channels=x.shape[-1],
+                channels=c,
                 dilation=3**i,
                 depthwise=self.depthwise,
                 name=f"res{i}",
-            )(x)
+            )(x, fold=fold)
             x = leaky_relu(x, 0.1)
+        if fold > 1:
+            x = unfold_time(x, fold, c)
         x = CausalConv1d(
             features=self.out_channels,
             kernel_size=2 * self.stride + 1,
@@ -99,9 +123,14 @@ class CausalDecoderBlock(nn.Module):
     wavelet: bool = False
     wavelet_hidden_ratio: int = 4
     channelwise: bool = True
+    lane_fold: bool = True  # exact lane-folded residual stack when C < 128
 
     @nn.compact
     def __call__(self, x):
+        l_out = x.shape[1] * self.stride
+        fold = _pick_fold(l_out, self.out_channels) if (
+            self.lane_fold and not self.depthwise
+        ) else 1
         if self.wavelet:
             x = WaveletLayer(
                 hidden_channels=self.out_channels * self.wavelet_hidden_ratio,
@@ -112,13 +141,17 @@ class CausalDecoderBlock(nn.Module):
                 channelwise_scale=self.channelwise,
                 name="up_wavelet",
             )(x)
+            if fold > 1:
+                x = fold_time(x, fold)
         elif self.upsample:
+            # the phase-decomposed upsampler already produces fold=stride; it
+            # re-folds (a flat reshape) straight to the stack's fold factor
             x = CausalUpsampleConv1d(
                 features=self.out_channels,
                 kernel_size=2 * self.stride + 1,
                 stride=self.stride,
                 name="up",
-            )(x)
+            )(x, emit_fold=fold)
         else:
             x = CausalConvT1d(
                 features=self.out_channels,
@@ -126,6 +159,8 @@ class CausalDecoderBlock(nn.Module):
                 stride=self.stride,
                 name="up_t",
             )(x)
+            if fold > 1:
+                x = fold_time(x, fold)
         x = leaky_relu(x, 0.1)
         for i in range(self.n_layers - 1):
             x = CausalResidualBlock1d(
@@ -133,6 +168,8 @@ class CausalDecoderBlock(nn.Module):
                 dilation=3**i,
                 depthwise=self.depthwise,
                 name=f"res{i}",
-            )(x)
+            )(x, fold=fold)
             x = leaky_relu(x, 0.1)
+        if fold > 1:
+            x = unfold_time(x, fold, self.out_channels)
         return x

@@ -31,6 +31,10 @@ from audio_generation_tpu.ops import (
     snake,
     snake_relu,
 )
+from audio_generation_tpu.ops.conv import (
+    causal_upsample_conv1d_raw,
+    folded_causal_conv1d,
+)
 
 
 def torch_conv_init(fan_in: int):
@@ -107,13 +111,25 @@ class _NormedConvBase(nn.Module):
 
 
 class CausalConv1d(_NormedConvBase):
-    """Causal conv layer (reference: networks/vae.py:14-43)."""
+    """Causal conv layer (reference: networks/vae.py:14-43).
+
+    `fold` > 1 runs the exact lane-folded execution path (ops.conv.fold_time
+    layout): input/output are (B, L/fold, fold*C); the learned weight keeps
+    its canonical (k, Cin, Cout) shape, so checkpoints and parity transplants
+    are unaffected. Stride-1, ungrouped only."""
 
     stride: int = 1
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold: int = 1):
+        if fold > 1:
+            assert self.stride == 1 and self.groups == 1
+            w, b = self._weight(x.shape[-1] // fold)
+            return folded_causal_conv1d(
+                x, w.astype(x.dtype), None if b is None else b.astype(x.dtype),
+                fold=fold, dilation=self.dilation,
+            )
         w, b = self._weight(x.shape[-1])
         return causal_conv1d(
             x, w.astype(x.dtype), None if b is None else b.astype(x.dtype),
@@ -136,17 +152,36 @@ class CausalConvT1d(_NormedConvBase):
 
 
 class CausalUpsampleConv1d(_NormedConvBase):
-    """Nearest-upsample then 'same' conv (reference: networks/vae.py:66-89)."""
+    """Nearest-upsample then 'same' conv (reference: networks/vae.py:66-89).
+
+    `emit_fold` > 1 returns the output in the fold_time layout
+    (B, L_out/emit_fold, emit_fold*Cout) without materializing the unfolded
+    tensor — the phase-decomposed conv already produces fold=stride, which is
+    reshaped (flat, zero-cost) to the requested fold. Requires
+    L_out % emit_fold == 0."""
 
     stride: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, emit_fold: int = 1):
         w, b = self._weight(x.shape[-1])
-        return causal_upsample_conv1d(
-            x, w.astype(x.dtype), None if b is None else b.astype(x.dtype),
-            stride=self.stride,
-        )
+        w = w.astype(x.dtype)
+        b = None if b is None else b.astype(x.dtype)
+        if emit_fold > 1 and self.stride > 1:
+            y = causal_upsample_conv1d_raw(x, w, stride=self.stride)
+            bsz, L, sc = y.shape
+            l_out = L * self.stride
+            assert l_out % emit_fold == 0
+            y = y.reshape(bsz, l_out // emit_fold, emit_fold * self.features)
+            if b is not None:
+                y = y + jnp.tile(b, emit_fold)
+            return y
+        y = causal_upsample_conv1d(x, w, b, stride=self.stride)
+        if emit_fold > 1:
+            from audio_generation_tpu.ops.conv import fold_time
+
+            y = fold_time(y, emit_fold)
+        return y
 
 
 class SameConv1d(_NormedConvBase):

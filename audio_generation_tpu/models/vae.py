@@ -53,6 +53,8 @@ class CausalVQAE(nn.Module):
     bottleneck: str = "rvq"  # "rvq" | "energy" | "none"
     energy_kwargs: Any = None  # dict for the energy bottleneck
     compute_dtype: Any = jnp.float32
+    lane_fold: bool = True  # exact lane-folded execution of low-channel
+    # residual stacks (ops/conv.py fold_time law); param shapes unchanged
     use_pallas_rvq: bool = False  # inference-only fused RVQ kernel
     # (ops/rvq_pallas.py); bit-exact indices, no codebook updates
 
@@ -99,6 +101,7 @@ class CausalVQAE(nn.Module):
                 stride=self.strides[i],
                 n_layers=self.n_layers_per_block,
                 depthwise=self.depthwise,
+                lane_fold=self.lane_fold,
             )
             for i in range(self.n_blocks)
         ]
@@ -112,6 +115,7 @@ class CausalVQAE(nn.Module):
                 n_layers=self.n_layers_per_block,
                 depthwise=self.depthwise,
                 wavelet=wavelet_flags[i - 1],
+                lane_fold=self.lane_fold,
             )
             for i in range(self.n_blocks, 0, -1)
         ]

@@ -56,6 +56,9 @@ class CausalMultiresConv1d(nn.Module):
             (c, self.depth + 2),
         )
 
+        h0 = h0.astype(x.dtype)  # keep the compute dtype: a stray f32
+        h1 = h1.astype(x.dtype)  # operand silently promotes the whole
+        w = w.astype(x.dtype)  # downstream graph to f32 (see WaveletLayer)
         residual_low = x
         y = jnp.zeros_like(x)
         dilation = 1
@@ -153,23 +156,37 @@ class WaveletLayer(nn.Module):
         kern = jnp.broadcast_to(kern, (H, self.n_points))
 
         B, L, _ = x.shape
-        y = x[..., None] * kern[None, None]  # (B, L, H, n_points)
-        # flatten (frame, wavelet-sample) -> upsampled-time axis, channels last
-        y_flat = jnp.swapaxes(y, 2, 3).reshape(B, L * self.n_points, H)
-        # overlap-add: strided box sum over windows of n_points, step fold_dim
-        y_out = jax.lax.reduce_window(
-            y_flat,
-            0.0,
-            jax.lax.add,
-            window_dimensions=(1, self.n_points, 1),
-            window_strides=(1, fold_dim, 1),
-            padding="valid",
-        )  # (B, (L-1)*scale + 1, H)
-        # reference's tail patch-up (wavelets.py:229-231): append the last
-        # (scale_factor - 1) raw samples of the flattened wavelet train
-        tail = self.scale_factor - 1
+        s = self.scale_factor
+        # The reference materializes the (B, L, H, n_points) wavelet train and
+        # overlap-adds it with unfold().sum(-1) (wavelets.py:224-231). That
+        # whole expand+box-sum is LINEAR in x: window o = s*m + r of the
+        # contiguously-flattened train overlaps exactly wavelets m and m+1, so
+        #   y[b, s*m + r, h] = x[b,m,h] * A[h,r] + x[b,m+1,h] * B[h,r]
+        # with B[h,r] = sum_{p < r*fold} kern[h,p] and A = total - B. On TPU
+        # this replaces a ~10x-input-sized f32 intermediate + reduce_window
+        # with two elementwise multiplies (partial sums taken in f32).
+        kern32 = kern.astype(jnp.float32)
+        csum = jnp.cumsum(kern32, axis=1)  # (H, n_points)
+        total = csum[:, -1:]
+        starts = np.arange(s) * fold_dim  # (s,)
+        B_w = jnp.concatenate(
+            [jnp.zeros((H, 1), jnp.float32), csum[:, starts[1:] - 1]], axis=1
+        )  # (H, s); B[:, 0] = 0
+        A_w = total - B_w  # (H, s)
+        x_next = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
+        y = (
+            x[:, :, None, :] * A_w.T[None, None].astype(x.dtype)
+            + x_next[:, :, None, :] * B_w.T[None, None].astype(x.dtype)
+        )  # (B, L, s, H)
+        y_out = y.reshape(B, L * s, H)
+        # reference's tail patch-up (wavelets.py:229-231): the final
+        # (scale_factor - 1) samples are RAW train samples x[L-1] * kern[-t]
+        tail = s - 1
         if tail > 0:
-            y_out = jnp.concatenate([y_out, y_flat[:, L * self.n_points - tail :, :]], axis=1)
+            tail_vals = x[:, -1:, :] * kern.T[None, self.n_points - tail :, :].astype(
+                x.dtype
+            )
+            y_out = jnp.concatenate([y_out[:, : L * s - tail], tail_vals], axis=1)
 
         y_out = SameConv1d(
             features=out_channels,

@@ -158,6 +158,32 @@ def _upsample_phase_fold(kernel_size: int, stride: int):
     return A, m_min, kp
 
 
+def causal_upsample_conv1d_raw(x, w, *, stride: int):
+    """Phase-decomposed upsample-conv WITHOUT the final depth-to-space:
+    returns (B, L, stride*Cout), i.e. the result already in the fold_time
+    layout with f = stride (phase-major). Bias is NOT added (tile it stride
+    times in the folded layout, or add after unfolding)."""
+    k = w.shape[0]
+    cin, cout = w.shape[1], w.shape[2]
+    A, m_min, kp = _upsample_phase_fold(k, stride)
+    # fold in f32 (exact tap sums), then cast to the compute dtype
+    wp = jnp.einsum("pj,jio->pio", jnp.asarray(A), w.astype(jnp.float32))
+    wp = (
+        wp.reshape(kp, stride, cin, cout)
+        .transpose(0, 2, 1, 3)
+        .reshape(kp, cin, stride * cout)
+        .astype(x.dtype)
+    )
+    return jax.lax.conv_general_dilated(
+        x,
+        wp,
+        window_strides=(1,),
+        padding=[(-m_min, kp - 1 + m_min)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        precision=_precision_for(x),
+    )  # (B, L, s*Cout)
+
+
 def causal_upsample_conv1d(x, w, b=None, *, stride: int = 1):
     """Upsample-then-conv ("checkerboard-free") upsampler
     (reference: networks/vae.py:66-89). NOTE: like the reference, the 'same'
@@ -173,29 +199,83 @@ def causal_upsample_conv1d(x, w, b=None, *, stride: int = 1):
     the MXU. Equality vs the naive composition is tested to f32 tolerance."""
     if stride == 1:
         return same_conv1d(x, w, b)
-    k = w.shape[0]
-    cin, cout = w.shape[1], w.shape[2]
-    A, m_min, kp = _upsample_phase_fold(k, stride)
-    # fold in f32 (exact tap sums), then cast to the compute dtype
-    wp = jnp.einsum("pj,jio->pio", jnp.asarray(A), w.astype(jnp.float32))
-    wp = (
-        wp.reshape(kp, stride, cin, cout)
-        .transpose(0, 2, 1, 3)
-        .reshape(kp, cin, stride * cout)
-        .astype(x.dtype)
-    )
-    y = jax.lax.conv_general_dilated(
-        x,
-        wp,
-        window_strides=(1,),
-        padding=[(-m_min, kp - 1 + m_min)],
-        dimension_numbers=DIMENSION_NUMBERS,
-        precision=_precision_for(x),
-    )  # (B, L, s*Cout)
+    y = causal_upsample_conv1d_raw(x, w, stride=stride)
     bsz, L = y.shape[0], y.shape[1]
-    y = y.reshape(bsz, L, stride, cout).reshape(bsz, L * stride, cout)
+    cout = w.shape[2]
+    y = y.reshape(bsz, L * stride, cout)
     if b is not None:
         y = y + b
+    return y
+
+
+def fold_time(x, f: int):
+    """(B, L, C) -> (B, L//f, f*C), phase-major: out[b, u, r*C + c] =
+    x[b, u*f + r, c]. A pure reshape of the row-major (time, channel) layout.
+
+    WHY: activations with C < 128 pad the TPU lane dimension (physical HBM
+    footprint and VPU/MXU occupancy are ceil(C/128)*128 wide), so the long
+    low-channel codec stages (C=32 at 72 kHz rate) waste 4x bandwidth and
+    lanes. Folding f consecutive samples into channels makes them dense."""
+    if f == 1:
+        return x
+    b, l, c = x.shape
+    assert l % f == 0, f"length {l} not divisible by fold {f}"
+    return x.reshape(b, l // f, f * c)
+
+
+def unfold_time(x, f: int, channels: int):
+    """Inverse of fold_time: (B, L/f, f*C) -> (B, L, C)."""
+    if f == 1:
+        return x
+    b, lf, fc = x.shape
+    assert fc == f * channels
+    return x.reshape(b, lf * f, channels)
+
+
+def _fold_matrix(kernel_size: int, dilation: int, f: int):
+    """Static 0/1 tensor M (k'', f_in_phase, f_out_phase, k) mapping the
+    original causal kernel w (k, Cin, Cout) onto the folded kernel
+    W'[i, rp*Cin + c, r*Cout + o] = sum_j M[i, rp, r, j] * w[j, c, o].
+
+    Derivation: stride-1 causal conv y[t] = sum_j w[j] x[t - d(k-1) + d*j]
+    (x[<0] = 0). With t = f*u + r the source offset o_jr = r - d(k-1) + d*j
+    lands in folded block m = floor(o_jr / f), phase rp = o_jr mod f; the
+    conv over folded blocks uses kernel index i = m - m_min."""
+    k, d = kernel_size, dilation
+    m_min = -((d * (k - 1) + f - 1) // f)  # floor((0 - d(k-1)) / f)
+    kpp = -m_min + 1  # m ranges m_min..0
+    M = np.zeros((kpp, f, f, k), dtype=np.float32)
+    for r in range(f):
+        for j in range(k):
+            o = r - d * (k - 1) + d * j
+            M[(o // f) - m_min, o % f, r, j] = 1.0
+    return M, m_min, kpp
+
+
+def folded_causal_conv1d(x_f, w, b=None, *, fold: int, dilation: int = 1):
+    """Exact causal stride-1 conv computed in the folded layout.
+
+    x_f: (B, L/f, f*Cin) from fold_time; w: (k, Cin, Cout) (UNCHANGED param
+    shape — folding is an execution strategy, not a reparameterization).
+    Returns (B, L/f, f*Cout). Matches fold_time(causal_conv1d(x, w)) up to
+    f32 tap-reassociation (~1e-6 rel)."""
+    k, cin, cout = w.shape
+    f = fold
+    if f == 1:
+        return causal_conv1d(x_f, w, b, dilation=dilation)
+    M, m_min, kpp = _fold_matrix(k, dilation, f)
+    wf = jnp.einsum("isrj,jco->iscro", jnp.asarray(M), w.astype(jnp.float32))
+    wf = wf.reshape(kpp, f * cin, f * cout).astype(x_f.dtype)
+    y = jax.lax.conv_general_dilated(
+        x_f,
+        wf,
+        window_strides=(1,),
+        padding=[(-m_min, 0)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        precision=_precision_for(x_f),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, f).astype(y.dtype)
     return y
 
 

@@ -1,26 +1,38 @@
 """Fused residual-VQ encode kernel (Pallas/TPU).
 
 The whole RVQ cascade — per level: distances (MXU matmul) -> argmin ->
-one-hot dequantize (MXU matmul) -> residual subtract — runs in ONE kernel per
-frame tile, with the residual held in VMEM across all levels and each level's
-codebook DMA'd from HBM under double buffering (the next level's codebook
-transfers while the current level computes). The XLA fallback (a lax.scan in
-models/quantizer.py) materializes the carry between levels; this kernel keeps
-the whole cascade on-chip, which is the fusion called out by the BASELINE
-north star ("RVQ codebook nearest-neighbor search" as a Pallas candidate;
-SURVEY.md §2.10, §7 stage 3).
+one-hot dequantize (MXU matmul) -> residual subtract — runs on-chip with the
+residual held in VMEM across all levels. The XLA fallback (a lax.scan in
+models/quantizer.py) materializes the (N, D) carry and the (N, S) one-hot in
+HBM between levels; this kernel keeps the cascade resident, which is the
+fusion called out by the BASELINE north star ("RVQ codebook nearest-neighbor
+search" as a Pallas candidate; SURVEY.md §2.10, §7 stage 3).
+
+Design (round 2 — the round-1 kernel was 8x SLOWER than the scan):
+  * grid = (frame_tiles, levels) with the LEVEL axis innermost. The codebook
+    block spec maps grid step (i, l) -> codebook l, so the Pallas pipeline
+    double-buffers each level's (S, D) codebook across grid steps
+    automatically — no hand-rolled DMA, and the NEXT level's codebook
+    streams from HBM while the current level computes.
+  * The frame tile x (tile_n, D) maps to the same block for all l, so it
+    stays VMEM-resident across the level loop (consecutive-revisit rule).
+  * The running residual lives in a VMEM scratch buffer, which persists
+    across grid steps (the TPU grid is a sequential loop on one core).
+  * The quantized sum accumulates in the OUTPUT block (same block for all l,
+    one HBM writeback per frame tile), in scan order (((q0+q1)+q2)+...) so
+    the result is bit-exact vs the lax.scan path.
+  * indices are written as (levels, N) rows — one lane-contiguous row per
+    grid step — instead of the round-1 kernel's strided column writes into a
+    (tile_n, nq) block (8-lane masked stores, a measured bottleneck).
 
 Used on the inference/encode path (no codebook updates). Indices are
 bit-exact with the scan path: same distance formula (||c||^2 - 2 x.c), same
-f32 precision, same first-minimum argmin tie-breaking.
+f32 HIGHEST-precision matmuls, same first-minimum argmin tie-breaking.
+Assumes uniform codebook sizes (the flagship config): per-level size masks
+are not applied.
 
-STATUS (round 1, v5e measurement): bit-exact on hardware, but ~8x slower than
-the XLA scan path (396 ms vs 48 ms for 4800 frames x 8 levels x 1024 x 512) —
-the per-tile level loop leaves the MXU idle between short matmuls. Kept as a
-validated alternative (`CausalVQAE(use_pallas_rvq=True)`); the XLA scan
-remains the default. TODO(round 2): keep codebooks VMEM-resident across grid
-steps (constant index_map), fuse dist+argmin across bigger N tiles, try
-bf16 distance with f32 refine.
+Measured (v5e, 4800 frames x 8 levels x 1024 x 512, f32): round-1 kernel
+396 ms; XLA scan 48 ms; this kernel — see CLAUDE.md perf ledger.
 """
 from __future__ import annotations
 
@@ -28,75 +40,63 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _rvq_kernel(nq: int, S: int, D: int, tile_n: int, x_ref, cnorm_ref, cb_hbm, idx_ref, qsum_ref):
-    """One frame tile: x_ref (TILE_N, D) VMEM; cnorm_ref (nq, S) VMEM;
-    cb_hbm (nq, S, D) in HBM/ANY; idx_ref (TILE_N, nq); qsum_ref (TILE_N, D)."""
+def _rvq_kernel(nq: int, S: int, D: int, tile_n: int,
+                x_ref, cb_ref, cnorm_ref, idx_ref, qsum_ref, res_ref):
+    """Grid step (i, l): frame tile i, cascade level l.
 
-    def body(cb_buf, sems):
-        # warm up: start DMA of level 0's codebook
-        pltpu.make_async_copy(cb_hbm.at[0], cb_buf.at[0], sems.at[0]).start()
+    x_ref     (tile_n, D) VMEM — resident across the level loop
+    cb_ref    (1, S, D)   VMEM — level l's codebook (pipeline double-buffered)
+    cnorm_ref (1, S)      VMEM — precomputed ||c||^2 for level l
+    idx_ref   (1, tile_n) VMEM out — level l's indices for tile i (row write)
+    qsum_ref  (tile_n, D) VMEM out — accumulated quantized sum for tile i
+    res_ref   (tile_n, D) VMEM scratch — running residual
+    """
+    l = pl.program_id(1)
 
-        residual = x_ref[:]
-        qsum = jnp.zeros_like(residual)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, S), 1)
+    @pl.when(l == 0)
+    def _():
+        res_ref[:] = x_ref[:]
+        qsum_ref[:] = jnp.zeros_like(qsum_ref)
 
-        for level in range(nq):
-            slot = level % 2
-            nxt = (level + 1) % 2
-            if level + 1 < nq:
-                pltpu.make_async_copy(
-                    cb_hbm.at[level + 1], cb_buf.at[nxt], sems.at[nxt]
-                ).start()
-            pltpu.make_async_copy(cb_hbm.at[level], cb_buf.at[slot], sems.at[slot]).wait()
-            cb = cb_buf[slot]  # (S, D)
+    residual = res_ref[:]
+    cb = cb_ref[0]  # (S, D)
 
-            dots = jax.lax.dot_general(
-                residual,
-                cb,
-                (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (TILE_N, S)
-            dist = cnorm_ref[level][None, :] - 2.0 * dots
-            idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (TILE_N,)
-            idx_ref[:, level] = idx
+    dots = jax.lax.dot_general(
+        residual, cb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (tile_n, S)
+    dist = cnorm_ref[0][None, :] - 2.0 * dots
+    idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (tile_n,)
+    idx_ref[0, :] = idx
 
-            one_hot = (col_ids == idx[:, None]).astype(jnp.float32)
-            q = jax.lax.dot_general(
-                one_hot,
-                cb,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-            qsum = qsum + q
-            residual = residual - q
-
-        qsum_ref[:] = qsum
-
-    pl.run_scoped(
-        body,
-        cb_buf=pltpu.VMEM((2, S, D), jnp.float32),
-        sems=pltpu.SemaphoreType.DMA((2,)),
-    )
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, S), 1)
+    one_hot = (col_ids == idx[:, None]).astype(jnp.float32)
+    q = jax.lax.dot_general(
+        one_hot, cb, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (tile_n, D)
+    qsum_ref[:] = qsum_ref[:] + q
+    res_ref[:] = residual - q
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
-def rvq_encode(x, codebooks, *, tile_n: int = 256, interpret: bool = False):
+def rvq_encode(x, codebooks, *, tile_n: int = 512, interpret: bool = False):
     """Fused RVQ encode.
 
     Args:
       x: (N, D) f32 frames.
-      codebooks: (nq, S, D) f32.
-      tile_n: frames per kernel instance (multiple of 8).
+      codebooks: (nq, S, D) f32 (uniform sizes; no per-level masking).
+      tile_n: frames per kernel instance (multiple of 8; VMEM-sized).
       interpret: run in interpreter mode (CPU tests).
 
-    Returns (indices (N, nq) int32, quantized_sum (N, D) f32).
+    Returns (indices (N, nq) int32, quantized_sum (N, D) f32), bit-exact vs
+    the models/quantizer.py scan path on the same device.
     """
     N, D = x.shape
     nq, S, _ = codebooks.shape
@@ -107,24 +107,26 @@ def rvq_encode(x, codebooks, *, tile_n: int = 256, interpret: bool = False):
     Np = x_padded.shape[0]
 
     kernel = functools.partial(_rvq_kernel, nq, S, D, tile_n)
-    idx, qsum = pl.pallas_call(
+    idx_t, qsum = pl.pallas_call(
         kernel,
-        grid=(Np // tile_n,),
+        grid=(Np // tile_n, nq),
         in_specs=[
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((nq, S), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),  # codebooks stay in HBM
+            pl.BlockSpec((tile_n, D), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S), lambda i, l: (l, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((tile_n, nq), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_n), lambda i, l: (l, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_n, D), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Np, nq), jnp.int32),
+            jax.ShapeDtypeStruct((nq, Np), jnp.int32),
             jax.ShapeDtypeStruct((Np, D), jnp.float32),
         ),
+        scratch_shapes=[pltpu.VMEM((tile_n, D), jnp.float32)],
         interpret=interpret,
-    )(x_padded, c_norm2, codebooks)
+    )(x_padded, codebooks, c_norm2)
+    idx = idx_t.T  # (Np, nq)
     if n_pad:
         idx, qsum = idx[:N], qsum[:N]
     return idx, qsum

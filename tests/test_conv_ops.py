@@ -192,3 +192,46 @@ def test_upsample_conv_phase_decomposition_exact(rng, stride, kernel):
     naive = same_conv1d(upsample_nearest(x, stride), w, b)
     assert fast.shape == naive.shape == (2, L * stride, cout)
     np.testing.assert_allclose(np.asarray(fast), np.asarray(naive), rtol=1e-5, atol=1e-5)
+
+
+class TestFoldedConv:
+    """Lane-folded execution (ops/conv.py fold_time law) is exact."""
+
+    def test_folded_matches_unfolded(self, rng):
+        from audio_generation_tpu.ops.conv import (
+            causal_conv1d, fold_time, folded_causal_conv1d, unfold_time,
+        )
+
+        for (L, cin, cout, k, d, f) in [
+            (48, 3, 5, 7, 1, 4), (48, 3, 5, 7, 3, 4), (72, 4, 2, 7, 9, 4),
+            (72, 2, 2, 1, 1, 6), (64, 5, 3, 5, 2, 2), (60, 1, 32, 7, 1, 4),
+        ]:
+            x = jnp.asarray(rng.normal(size=(2, L, cin)).astype(np.float32))
+            w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+            ref = causal_conv1d(x, w, b, dilation=d)
+            out = unfold_time(
+                folded_causal_conv1d(fold_time(x, f), w, b, fold=f, dilation=d),
+                f, cout,
+            )
+            np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
+
+    def test_model_forward_fold_invariant(self, rng):
+        """CausalVQAE(lane_fold=True) ≈ (lane_fold=False): same params, same
+        codes, tolerance-matched waveforms."""
+        from audio_generation_tpu.models import CausalVQAE
+
+        kw = dict(
+            in_channels=1, n_blocks=2, n_layers_per_block=3,
+            first_block_channels=8, num_quantizers=2, codebook_size=32,
+            codebook_dim=16, strides=(2, 3), wavelet_decoders=(False, True),
+            input_format="n c l", use_som=False, vq_type="ema",
+        )
+        m_fold = CausalVQAE(lane_fold=True, **kw)
+        m_plain = CausalVQAE(lane_fold=False, **kw)
+        x = jnp.asarray(rng.normal(size=(2, 1, 4 * 48)).astype(np.float32) * 0.3)
+        variables = m_plain.init(jax.random.key(0), x)
+        (y0, c0, i0), _ = m_plain.apply(variables, x, mutable=["codebook"])
+        (y1, c1, i1), _ = m_fold.apply(variables, x, mutable=["codebook"])
+        assert (np.asarray(i0) == np.asarray(i1)).all()
+        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)

@@ -44,6 +44,7 @@ def test_waveform_disc_spectral_state(wave_disc, rng):
     assert changed, "power iteration should update u"
 
 
+@pytest.mark.slow
 def test_stft_disc_structure(rng):
     disc = STFTDiscriminator(win_length=256)
     x = jnp.asarray(rng.normal(size=(1, 4096, 1)).astype(np.float32))
@@ -66,6 +67,7 @@ def test_build_discriminators_names():
     assert len(discs) == 6
 
 
+@pytest.mark.slow
 def test_discriminator_trains_toy_gan(rng):
     """Reference-style sanity (discriminator.py:241-297): D learns to
     separate a fixed real signal from noise."""

@@ -97,3 +97,39 @@ def test_wavelet_beats_interpolation(rng):
     naive = upsample_nearest(xs_ds, scale)
     naive_loss = float(jnp.mean((naive - xs) ** 2))
     assert float(loss) < naive_loss, f"wavelet {float(loss)} !< naive {naive_loss}"
+
+
+def test_wavelet_closed_form_matches_materialized_overlap_add(rng):
+    """The WaveletLayer's two-tap closed form must equal the reference's
+    materialized expand + unfold().sum(-1) overlap-add + tail patch-up
+    (reference: networks/wavelets.py:211-231)."""
+    from audio_generation_tpu.models.wavelets import WaveletLayer
+
+    H, s, n_points = 6, 4, 16
+    layer = WaveletLayer(
+        hidden_channels=H, out_channels=3, scale_factor=s, n_points=n_points
+    )
+    x = jnp.asarray(rng.normal(size=(2, 11, 5)), dtype=jnp.float32)
+    variables = layer.init(jax.random.key(0), x)
+    y = layer.apply(variables, x)
+
+    # naive path, replicated with the layer's own conv_in/conv_out params
+    from audio_generation_tpu.ops.conv import same_conv1d
+
+    p = variables["params"]
+    h = same_conv1d(x, p["conv_in"]["w"], p["conv_in"]["b"])
+    space = jnp.linspace(-10.0, 10.0, n_points)
+    kern = jnp.cos(space) * jnp.exp(-(space**2) / p["wavelet_scale"])
+    kern = jnp.broadcast_to(kern, (H, n_points))
+    train = h[..., None] * kern[None, None]  # (B, L, H, n_points)
+    B, L, _ = h.shape
+    flat = jnp.swapaxes(train, 2, 3).reshape(B, L * n_points, H)
+    fold = n_points // s
+    out = jax.lax.reduce_window(
+        flat, 0.0, jax.lax.add,
+        window_dimensions=(1, n_points, 1), window_strides=(1, fold, 1),
+        padding="valid",
+    )
+    out = jnp.concatenate([out, flat[:, L * n_points - (s - 1):, :]], axis=1)
+    out = same_conv1d(out, p["conv_out"]["w"], p["conv_out"]["b"])
+    np.testing.assert_allclose(np.asarray(y), np.asarray(out), rtol=2e-5, atol=2e-5)

@@ -93,6 +93,7 @@ def test_sample(small_model):
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_overfit_smoke(rng):
     """The reference's own verification methodology: overfit a tiny clip with
     MSE + commit loss and watch the loss drop (networks/vae.py:356-393)."""

@@ -265,6 +265,7 @@ def test_differentiable_som_codes_stay_hard_argmin(rng):
     np.testing.assert_array_equal(np.asarray(idx_soft), np.asarray(idx_hard))
 
 
+@pytest.mark.slow
 def test_differentiable_som_update_trains_and_anneals(rng):
     """The soft neighborhood update must (a) pull codebooks toward the data
     and (b) sharpen toward plain VQ as the cutoff anneals x0.95/epoch."""

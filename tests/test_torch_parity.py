@@ -81,6 +81,7 @@ def test_encoder_latent_parity(rng):
     )
 
 
+@pytest.mark.slow
 def test_parity_survives_training_steps(rng):
     """Parity is not an initialization artifact: after perturbing the flax
     weights (as optimizer steps would), a re-transplant still matches."""

@@ -92,6 +92,7 @@ def make_trainer(tmp_path, tiny_dataset, gan=True, **overrides):
     return tr
 
 
+@pytest.mark.slow
 def test_full_gan_step(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset)
     data_iter = tr._data_iterator()
@@ -125,6 +126,7 @@ def test_non_gan_training(tmp_path, tiny_dataset):
     assert 2 <= codebook_n <= 4
 
 
+@pytest.mark.slow
 def test_checkpoint_resume(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset)
     data_iter = tr._data_iterator()
@@ -142,6 +144,7 @@ def test_checkpoint_resume(tmp_path, tiny_dataset):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_cutoff_decay_and_stale_report(tmp_path, tiny_dataset, capsys):
     tr = make_trainer(tmp_path, tiny_dataset)
     before = float(tr.state.codebook["state"].cutoff)
@@ -155,6 +158,7 @@ def test_cutoff_decay_and_stale_report(tmp_path, tiny_dataset, capsys):
     assert any(f.endswith("_sample.wav") for f in os.listdir(tr.workdir))
 
 
+@pytest.mark.slow
 def test_sample_data_and_reconstruct(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset)
     y = tr.sample_data(length_multiple=2)
@@ -164,6 +168,7 @@ def test_sample_data_and_reconstruct(tmp_path, tiny_dataset):
     assert rec.shape[0] == (len(wave) // 24) * 24
 
 
+@pytest.mark.slow
 def test_train_new_quantizer_energy(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset, gan=False)
     tr.train_new_quantizer(
@@ -175,6 +180,7 @@ def test_train_new_quantizer_energy(tmp_path, tiny_dataset):
     assert int(tr.state.step) > 0
 
 
+@pytest.mark.slow
 def test_nan_watchdog(tmp_path, tiny_dataset):
     tr = make_trainer(tmp_path, tiny_dataset, gan=False)
     # poison the params to force NaNs
@@ -185,6 +191,7 @@ def test_nan_watchdog(tmp_path, tiny_dataset):
         tr.mini_epoch(tr._data_iterator())
 
 
+@pytest.mark.slow
 def test_grad_accum_carry_matches_stacked_sum(tmp_path, tiny_dataset):
     """The in-scan carry accumulation must equal the naive stacked-grads sum
     (the reference's backward()-accumulates semantics, training.py:296-303)."""
