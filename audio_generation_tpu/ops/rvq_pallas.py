@@ -50,8 +50,8 @@ def _rvq_kernel(nq: int, S: int, D: int, tile_n: int,
 
     x_ref     (tile_n, D) VMEM — resident across the level loop
     cb_ref    (1, S, D)   VMEM — level l's codebook (pipeline double-buffered)
-    cnorm_ref (1, S)      VMEM — precomputed ||c||^2 for level l
-    idx_ref   (1, tile_n) VMEM out — level l's indices for tile i (row write)
+    cnorm_ref (nq, S)     VMEM — precomputed ||c||^2, all levels (32 KB)
+    idx_ref   (nq, tile_n) VMEM out — indices for tile i (row l written per step)
     qsum_ref  (tile_n, D) VMEM out — accumulated quantized sum for tile i
     res_ref   (tile_n, D) VMEM scratch — running residual
     """
@@ -70,9 +70,9 @@ def _rvq_kernel(nq: int, S: int, D: int, tile_n: int,
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # (tile_n, S)
-    dist = cnorm_ref[0][None, :] - 2.0 * dots
+    dist = cnorm_ref[pl.ds(l, 1), :] - 2.0 * dots  # (tile_n, S) via broadcast
     idx = jnp.argmin(dist, axis=-1).astype(jnp.int32)  # (tile_n,)
-    idx_ref[0, :] = idx
+    idx_ref[pl.ds(l, 1), :] = idx[None, :]
 
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (tile_n, S), 1)
     one_hot = (col_ids == idx[:, None]).astype(jnp.float32)
@@ -113,10 +113,10 @@ def rvq_encode(x, codebooks, *, tile_n: int = 512, interpret: bool = False):
         in_specs=[
             pl.BlockSpec((tile_n, D), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S, D), lambda i, l: (l, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S), lambda i, l: (l, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, S), lambda i, l: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile_n), lambda i, l: (l, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nq, tile_n), lambda i, l: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_n, D), lambda i, l: (i, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
