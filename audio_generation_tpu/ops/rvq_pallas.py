@@ -31,8 +31,14 @@ f32 HIGHEST-precision matmuls, same first-minimum argmin tie-breaking.
 Assumes uniform codebook sizes (the flagship config): per-level size masks
 are not applied.
 
-Measured (v5e, 4800 frames x 8 levels x 1024 x 512, f32): round-1 kernel
-396 ms; XLA scan 48 ms; this kernel — see CLAUDE.md perf ledger.
+Measured (v5e, 4800 frames x 8 levels x 1024 x 512, f32, dispatch-amortized):
+round-1 kernel 396 ms; this kernel 5.8 ms (tile_n 256: 5.7; 1024 exceeds
+VMEM); XLA scan 5.5 ms. CONCLUSION: the redesign recovers the 68x the
+round-1 kernel left on the table, landing at parity with the scan — both are
+bound by the same f32 HIGHEST-precision distance/dequantize matmuls, i.e.
+XLA already compiles the scan to the fused optimum. The scan stays the
+default (it also serves the training path with codebook updates); the kernel
+remains as the validated fused alternative (`CausalVQAE(use_pallas_rvq=True)`).
 """
 from __future__ import annotations
 
