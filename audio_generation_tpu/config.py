@@ -99,6 +99,9 @@ class TrainerConfig:
     pre_emphasis: Optional[float] = 0.97
     # TPU-specific:
     seed: int = 0
+    data_workers: int = 2  # host-side batch-build threads (decode/resample/
+    # crop); per-batch RNG streams keep augmentations deterministic for any
+    # worker count
     crop_size: Optional[int] = None  # training crop in samples; default is the
     # reference's 72000 @ 48 kHz scaled to sample_rate (utils.py:149-174)
     mesh_shape: Optional[Sequence[int]] = None  # e.g. [8] or [4, 2]

@@ -66,3 +66,36 @@ class PrefetchIterator:
 
 def prefetch(source: Iterator, n_prefetch: int = 2, sharding=None) -> PrefetchIterator:
     return PrefetchIterator(source, n_prefetch=n_prefetch, sharding=sharding)
+
+
+def parallel_batches(build_fn: Callable[[int], object], n_batches: int,
+                     num_workers: int = 2, ahead: Optional[int] = None) -> Iterator:
+    """Build batches with a thread pool, yielding IN ORDER while up to
+    `ahead` later batches build concurrently (wav decode + resample + crop
+    are the host-side cost; overlapping them keeps the accelerator fed —
+    the multi-worker analog of torch DataLoader(num_workers=...), which the
+    reference leaves at its synchronous default).
+
+    `build_fn(batch_index)` must be thread-safe — give each batch its own
+    np.random.Generator seeded from the batch index so augmentation streams
+    are deterministic regardless of worker count."""
+    from concurrent.futures import ThreadPoolExecutor
+    from collections import deque
+
+    if num_workers <= 1:
+        for i in range(n_batches):
+            yield build_fn(i)
+        return
+    ahead = ahead if ahead is not None else num_workers + 1
+    with ThreadPoolExecutor(max_workers=num_workers) as ex:
+        futures: deque = deque()
+        nxt = 0
+        while nxt < min(ahead, n_batches):
+            futures.append(ex.submit(build_fn, nxt))
+            nxt += 1
+        while futures:
+            out = futures.popleft().result()
+            if nxt < n_batches:
+                futures.append(ex.submit(build_fn, nxt))
+                nxt += 1
+            yield out

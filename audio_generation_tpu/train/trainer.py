@@ -246,29 +246,40 @@ class Trainer:
 
     # ------------------------------------------------------------------ #
     def _data_iterator(self, shuffle=True):
-        """Yields (accum, B, crop) float32 batches, reshuffled per epoch."""
+        """Yields (accum, B, crop) float32 batches, reshuffled per epoch.
+        Batch building (wav decode / resample / crop) runs on a
+        `data_workers` thread pool with per-batch RNG streams (deterministic
+        for any worker count), and the prefetcher overlaps host->device
+        transfer with the device step."""
         idx = np.arange(len(self.dataset))
         if shuffle:
             self._np_rng.shuffle(idx)
         B, A = self.cfg.batch_size, self.cfg.accumulation_steps
         need = B * A
+        n_batches = len(idx) // need
+        seed = int(self._np_rng.integers(0, 2**31))
+
+        def build(bi: int):
+            rng = np.random.default_rng(seed + bi)
+            items = [
+                self.dataset[int(i)][0] for i in idx[bi * need : (bi + 1) * need]
+            ]
+            batch = collate(
+                items,
+                size=self.crop_size,
+                rng=rng,
+                resample_from=self.data_sample_rate,
+                resample_to=self.cfg.sample_rate,
+            )
+            return batch.reshape(A, B, self.crop_size)
 
         def gen():
-            pos = 0
-            while pos + need <= len(idx):
-                items = [self.dataset[int(i)][0] for i in idx[pos : pos + need]]
-                batch = collate(
-                    items,
-                    size=self.crop_size,
-                    rng=self._np_rng,
-                    resample_from=self.data_sample_rate,
-                    resample_to=self.cfg.sample_rate,
-                )
-                yield batch.reshape(A, B, self.crop_size)
-                pos += need
+            yield from parallel_batches(
+                build, n_batches, num_workers=self.cfg.data_workers
+            )
 
         # overlap host collation + transfer with device compute
-        from audio_generation_tpu.data.loader import prefetch
+        from audio_generation_tpu.data.loader import parallel_batches, prefetch
 
         sharding = None
         if self.mesh is not None:

@@ -143,3 +143,59 @@ def test_prefetch_propagates_errors():
     with pytest.raises(RuntimeError, match="boom"):
         for _ in it:
             pass
+
+
+def test_parallel_batches_order_and_exceptions():
+    from audio_generation_tpu.data.loader import parallel_batches
+
+    out = list(parallel_batches(lambda i: i * i, 7, num_workers=3))
+    assert out == [i * i for i in range(7)]
+    out = list(parallel_batches(lambda i: i, 5, num_workers=1))
+    assert out == list(range(5))
+
+    def boom(i):
+        if i == 2:
+            raise ValueError("bad batch")
+        return i
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad batch"):
+        list(parallel_batches(boom, 4, num_workers=2))
+
+
+def test_trainer_iterator_deterministic_across_worker_counts(tmp_path):
+    """Per-batch RNG streams: the same seed yields identical batches whether
+    batches are built by 1 or 4 workers."""
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.train.trainer import Trainer
+
+    def batches(workers):
+        cfg = ExperimentConfig.from_dict(
+            {
+                "experiment_name": f"w{workers}",
+                "save_path_root": str(tmp_path) + "/",
+                "dataset": "synthetic",
+                "sample_rate": 24000,
+                "use_discriminator": False,
+                "scratch_train": True,
+                "vae_args": {
+                    "num_quantizers": 2, "codebook_size": 16, "codebook_dim": 8,
+                    "first_block_channels": 2, "n_layers_per_block": 2,
+                    "strides": [2, 3], "wavelet_decoders": [False, False],
+                    "input_format": "n c l",
+                },
+                "trainer_args": {
+                    "batch_size": 2, "accumulation_steps": 2,
+                    "crop_size": 24, "data_workers": workers,
+                },
+            }
+        )
+        tr = Trainer(cfg)
+        it = tr._data_iterator(shuffle=False)
+        return [np.asarray(next(it)) for _ in range(3)]
+
+    a = batches(1)
+    b = batches(4)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
