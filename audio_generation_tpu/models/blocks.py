@@ -84,13 +84,20 @@ class CausalEncoderBlock(nn.Module):
     lane_fold: bool = True  # exact lane-folded residual stack when C < 128
 
     @nn.compact
-    def __call__(self, x):
-        fold = _pick_fold(x.shape[1], x.shape[-1]) if (
+    def __call__(self, x, in_fold: int = 1):
+        """`in_fold` > 1: x arrives already in the fold_time layout (e.g.
+        straight from a folded stem conv) — avoids an unfold/refold round
+        trip when the stack's own fold factor matches."""
+        c = x.shape[-1] // in_fold
+        length = x.shape[1] * in_fold
+        fold = _pick_fold(length, c) if (
             self.lane_fold and not self.depthwise
         ) else 1
-        c = x.shape[-1]
-        if fold > 1:
-            x = fold_time(x, fold)
+        if in_fold != fold:
+            if in_fold > 1:
+                x = unfold_time(x, in_fold, c)
+            if fold > 1:
+                x = fold_time(x, fold)
         for i in range(self.n_layers - 1):
             x = CausalResidualBlock1d(
                 channels=c,

@@ -152,9 +152,23 @@ class CausalVQAE(nn.Module):
 
     # ------------------------------------------------------------------ #
     def encoder_fn(self, x):
-        """Raw encoder stack: (B, L, Cin) -> (B, ceil(L/480), codebook_dim)."""
-        x = self.enc_stem(x)
-        for block in self.enc_blocks:
+        """Raw encoder stack: (B, L, Cin) -> (B, ceil(L/480), codebook_dim).
+
+        The stem conv (Cin=1 at the full sample rate: 7-wide contraction, 32
+        output lanes — the most lane-starved op in the codec) runs in the
+        fold_time layout and feeds block 0's folded residual stack directly."""
+        from audio_generation_tpu.models.blocks import _pick_fold
+        from audio_generation_tpu.ops.conv import fold_time
+
+        f0 = 1
+        if self.lane_fold and not self.depthwise:
+            f0 = _pick_fold(x.shape[1], self.first_block_channels)
+        if f0 > 1:
+            x = self.enc_stem(fold_time(x, f0), fold=f0)
+        else:
+            x = self.enc_stem(x)
+        x = self.enc_blocks[0](x, in_fold=f0)
+        for block in self.enc_blocks[1:]:
             x = block(x)
         return self.enc_out(x)
 
