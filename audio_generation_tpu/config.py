@@ -58,6 +58,8 @@ class VAEConfig:
     # TPU-specific knobs (not in the reference):
     param_dtype: str = "float32"
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly training
+    remat_blocks: bool = False  # rematerialize enc/dec blocks in backward
+    # (needed for reference-scale batch 4 x accum 32 x 72000 on 16 GB HBM)
 
     @classmethod
     def from_dict(cls, d: dict) -> "VAEConfig":
@@ -99,6 +101,9 @@ class TrainerConfig:
     pre_emphasis: Optional[float] = 0.97
     # TPU-specific:
     seed: int = 0
+    remat_discriminators: bool = False  # jax.checkpoint the discriminator
+    # applies inside the train step (pairs with vae_args.remat_blocks for
+    # reference-scale crops on 16 GB HBM)
     data_workers: int = 2  # host-side batch-build threads (decode/resample/
     # crop); per-batch RNG streams keep augmentations deterministic for any
     # worker count

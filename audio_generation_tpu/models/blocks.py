@@ -44,9 +44,12 @@ class CausalResidualBlock1d(nn.Module):
     dropout: float = 0.0
     depthwise: bool = False
     deterministic: bool = True
+    fold: int = 1  # a FIELD (not a call arg) so nn.remat needs no
+    # static_argnums: the parent constructs this block where fold is known
 
     @nn.compact
-    def __call__(self, x, fold: int = 1):
+    def __call__(self, x):
+        fold = self.fold
         if self.depthwise:
             assert fold == 1, "depthwise + folded not supported"
             h = CausalConv1d(
@@ -66,7 +69,9 @@ class CausalResidualBlock1d(nn.Module):
                 name="conv1",
             )(x, fold=fold)
         h = leaky_relu(h, 0.1)
-        h = CausalConv1d(features=self.channels, kernel_size=1, name="conv2")(h, fold=fold)
+        h = CausalConv1d(features=self.channels, kernel_size=1, name="conv2")(
+            h, fold=fold
+        )
         if self.dropout > 0 and not self.deterministic:
             h = nn.Dropout(rate=self.dropout, deterministic=False)(h)
         return x + h
@@ -82,6 +87,7 @@ class CausalEncoderBlock(nn.Module):
     n_layers: int = 4
     depthwise: bool = False
     lane_fold: bool = True  # exact lane-folded residual stack when C < 128
+    remat: bool = False  # rematerialize each residual block in backward
 
     @nn.compact
     def __call__(self, x, in_fold: int = 1):
@@ -98,13 +104,15 @@ class CausalEncoderBlock(nn.Module):
                 x = unfold_time(x, in_fold, c)
             if fold > 1:
                 x = fold_time(x, fold)
+        Res = nn.remat(CausalResidualBlock1d) if self.remat else CausalResidualBlock1d
         for i in range(self.n_layers - 1):
-            x = CausalResidualBlock1d(
+            x = Res(
                 channels=c,
                 dilation=3**i,
                 depthwise=self.depthwise,
+                fold=fold,
                 name=f"res{i}",
-            )(x, fold=fold)
+            )(x)
             x = leaky_relu(x, 0.1)
         if fold > 1:
             x = unfold_time(x, fold, c)
@@ -131,6 +139,7 @@ class CausalDecoderBlock(nn.Module):
     wavelet_hidden_ratio: int = 4
     channelwise: bool = True
     lane_fold: bool = True  # exact lane-folded residual stack when C < 128
+    remat: bool = False  # rematerialize each residual block in backward
 
     @nn.compact
     def __call__(self, x):
@@ -169,13 +178,15 @@ class CausalDecoderBlock(nn.Module):
             if fold > 1:
                 x = fold_time(x, fold)
         x = leaky_relu(x, 0.1)
+        Res = nn.remat(CausalResidualBlock1d) if self.remat else CausalResidualBlock1d
         for i in range(self.n_layers - 1):
-            x = CausalResidualBlock1d(
+            x = Res(
                 channels=self.out_channels,
                 dilation=3**i,
                 depthwise=self.depthwise,
+                fold=fold,
                 name=f"res{i}",
-            )(x, fold=fold)
+            )(x)
             x = leaky_relu(x, 0.1)
         if fold > 1:
             x = unfold_time(x, fold, self.out_channels)

@@ -55,6 +55,10 @@ class CausalVQAE(nn.Module):
     compute_dtype: Any = jnp.float32
     lane_fold: bool = True  # exact lane-folded execution of low-channel
     # residual stacks (ops/conv.py fold_time law); param shapes unchanged
+    remat_blocks: bool = False  # rematerialize encoder/decoder blocks in the
+    # backward pass (jax.checkpoint): trades ~20-30% step FLOPs for bounding
+    # resident activations to block inputs — required for the reference-scale
+    # batch 4 x accum 32 x 72000 GAN step on a 16 GB v5e
     use_pallas_rvq: bool = False  # inference-only fused RVQ kernel
     # (ops/rvq_pallas.py); bit-exact indices, no codebook updates
 
@@ -102,6 +106,7 @@ class CausalVQAE(nn.Module):
                 n_layers=self.n_layers_per_block,
                 depthwise=self.depthwise,
                 lane_fold=self.lane_fold,
+                remat=self.remat_blocks,
             )
             for i in range(self.n_blocks)
         ]
@@ -116,6 +121,7 @@ class CausalVQAE(nn.Module):
                 depthwise=self.depthwise,
                 wavelet=wavelet_flags[i - 1],
                 lane_fold=self.lane_fold,
+                remat=self.remat_blocks,
             )
             for i in range(self.n_blocks, 0, -1)
         ]
@@ -295,5 +301,6 @@ def model_from_config(cfg) -> CausalVQAE:
         else cfg.wavelet_decoders,
         bottleneck=cfg.bottleneck,
         energy_kwargs=cfg.energy_kwargs,
+        remat_blocks=cfg.remat_blocks,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )

@@ -124,8 +124,13 @@ class StepBuilder:
             disc = self.discriminators[di]
             dstate = disc_states[di]
             dvars = {"params": dstate.params, "spectral": dstate.spectral}
-            scores_real, feats_real = disc.apply(dvars, x[:, :, None])
-            scores_fake, feats_fake = disc.apply(dvars, y[:, :, None])
+            dapply = (
+                jax.checkpoint(disc.apply)
+                if self.cfg.remat_discriminators
+                else disc.apply
+            )
+            scores_real, feats_real = dapply(dvars, x[:, :, None])
+            scores_fake, feats_fake = dapply(dvars, y[:, :, None])
             g_loss = L.generator_gan_loss(scores_fake, feats_real, feats_fake)
             metrics[f"{self.disc_names[di]}_g_loss"] = g_loss
             total = total + cfg.generator_loss_weight * g_loss
@@ -143,12 +148,16 @@ class StepBuilder:
             disc = self.discriminators[di]
             params = d_params_list[pi]
             spectral = disc_states[di].spectral
-            (scores_real, _), mut = disc.apply(
+            dapply_mut = functools.partial(disc.apply, mutable=["spectral"])
+            dapply = disc.apply
+            if self.cfg.remat_discriminators:
+                dapply_mut = jax.checkpoint(dapply_mut)
+                dapply = jax.checkpoint(dapply)
+            (scores_real, _), mut = dapply_mut(
                 {"params": params, "spectral": spectral},
                 x[:, :, None],
-                mutable=["spectral"],
             )
-            scores_fake, _ = disc.apply(
+            scores_fake, _ = dapply(
                 {"params": params, "spectral": mut["spectral"]}, y[:, :, None]
             )
             d_loss = L.hinge_discriminator_loss(scores_real, scores_fake)

@@ -35,12 +35,14 @@ def main():
             "use_discriminator": True,
             "scratch_train": True,
             "save_path_root": "/tmp/refscale/",
+            "vae_args": {"remat_blocks": True},
             "trainer_args": {
                 "batch_size": 4,
                 "accumulation_steps": 32,
                 "crop_size": 72000,
                 "use_one_discriminator": True,
                 "mini_epoch_length": 32,
+                "remat_discriminators": True,
             },
             "train_run_args": {"epochs": 1},
         }
