@@ -225,7 +225,9 @@ class Trainer:
         (active indices tuple, codebook_n). Reference: training.py:276-294."""
         if not self.gan:
             nq = self.config.vae.num_quantizers
-            return (), int(self._np_rng.integers(2, nq + 1))
+            # reference: np.random.randint(2, nq + 1) (training.py:294) —
+            # which crashes for nq == 1; clamp so single-codebook models train
+            return (), int(self._np_rng.integers(min(2, nq), nq + 1))
         if not self.cfg.use_one_discriminator:
             return tuple(range(len(self.discriminators))), self.config.vae.num_quantizers
         energies = self.d_energies or [1.0] * len(self.discriminators)

@@ -306,3 +306,16 @@ def test_bf16_training_step_stable(tmp_path, tiny_dataset):
         tr.mini_epoch(data_iter, losses=losses)
     assert losses and np.isfinite(losses).all()
     assert int(tr.state.step) == 2
+
+
+def test_single_quantizer_codebook_n(tmp_path, tiny_dataset):
+    """num_quantizers=1 must not crash the no-GAN codebook_n draw (the
+    reference's randint(2, nq+1) at training.py:294 would)."""
+    cfg = tiny_config(tmp_path, gan=False)
+    cfg.vae.num_quantizers = 1
+    from audio_generation_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg, dataset=tiny_dataset, data_sample_rate=24000)
+    for _ in range(5):
+        active, codebook_n = tr._pick_discriminator()
+        assert active == () and codebook_n == 1

@@ -82,7 +82,8 @@ def eval_batch(trainer, seed=1234):
     from audio_generation_tpu.data.datasets import SyntheticAudio
 
     ds = SyntheticAudio(length=CROP, sample_rate=SR, n_items=16, seed=seed)
-    return np.stack([ds[i][0] for i in range(len(ds))])
+    # items are (1, L) channel-first; evaluate_codec wants (B, L)
+    return np.stack([np.asarray(ds[i][0])[0] for i in range(len(ds))])
 
 
 def run_config(name: str):
