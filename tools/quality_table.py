@@ -182,7 +182,17 @@ def main():
             print(f"skip {name} (artifact exists)")
             continue
         print(f"=== {name} ===", flush=True)
-        run_config(name)
+        for attempt in range(3):
+            try:
+                run_config(name)
+                break
+            except Exception as e:  # transient remote-compile tunnel drops
+                msg = str(e)
+                if "remote_compile" in msg or "INTERNAL" in msg:
+                    print(f"transient compile failure (attempt {attempt}): "
+                          f"{msg[:120]}", flush=True)
+                    continue
+                raise
     write_markdown()
 
 
