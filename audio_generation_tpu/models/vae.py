@@ -53,8 +53,11 @@ class CausalVQAE(nn.Module):
     bottleneck: str = "rvq"  # "rvq" | "energy" | "none"
     energy_kwargs: Any = None  # dict for the energy bottleneck
     compute_dtype: Any = jnp.float32
-    lane_fold: bool = True  # exact lane-folded execution of low-channel
-    # residual stacks (ops/conv.py fold_time law); param shapes unchanged
+    lane_fold: Any = True  # exact lane-folded execution of low-channel
+    # residual stacks (ops/conv.py fold_time law); param shapes unchanged.
+    # True = everywhere, False = off, "enc"/"dec" = that side only.
+    # Same-process sweep (v5e, b32x3s bf16, p50 of 10): True 81.2 ms,
+    # "dec" 82.8, "enc" 86.5, False 86.9 => fold everywhere.
     remat_blocks: bool = False  # rematerialize encoder/decoder blocks in the
     # backward pass (jax.checkpoint): trades ~20-30% step FLOPs for bounding
     # resident activations to block inputs — required for the reference-scale
@@ -65,6 +68,13 @@ class CausalVQAE(nn.Module):
     @property
     def scale_factor(self) -> int:
         return int(np.prod(self.strides))
+
+    def _fold_enabled(self, side: str) -> bool:
+        if isinstance(self.lane_fold, str):
+            return self.lane_fold in ("enc", "encoder") if side == "enc" else (
+                self.lane_fold in ("dec", "decoder")
+            )
+        return bool(self.lane_fold)
 
     @property
     def quantizer(self) -> ResidualQuantizer:
@@ -105,7 +115,7 @@ class CausalVQAE(nn.Module):
                 stride=self.strides[i],
                 n_layers=self.n_layers_per_block,
                 depthwise=self.depthwise,
-                lane_fold=self.lane_fold,
+                lane_fold=self._fold_enabled("enc"),
                 remat=self.remat_blocks,
             )
             for i in range(self.n_blocks)
@@ -120,7 +130,7 @@ class CausalVQAE(nn.Module):
                 n_layers=self.n_layers_per_block,
                 depthwise=self.depthwise,
                 wavelet=wavelet_flags[i - 1],
-                lane_fold=self.lane_fold,
+                lane_fold=self._fold_enabled("dec"),
                 remat=self.remat_blocks,
             )
             for i in range(self.n_blocks, 0, -1)
@@ -167,7 +177,7 @@ class CausalVQAE(nn.Module):
         from audio_generation_tpu.ops.conv import fold_time
 
         f0 = 1
-        if self.lane_fold and not self.depthwise:
+        if self._fold_enabled("enc") and not self.depthwise:
             f0 = _pick_fold(x.shape[1], self.first_block_channels)
         if f0 > 1:
             x = self.enc_stem(fold_time(x, f0), fold=f0)
