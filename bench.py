@@ -50,19 +50,43 @@ def build(dtype, batch, length):
         # tiny output-dependent reduction: transferring it forces execution
         return jnp.sum(y[:, :, ::1024]) + jnp.sum(indices[:, ::64, :]).astype(jnp.float32)
 
-    return encode_decode, variables, x
+    R = 8
+
+    @jax.jit
+    def encode_decode_rep(variables, x):
+        # R chained calls inside ONE dispatch (output folds back into the
+        # input, so XLA cannot parallelize or elide them): amortizes the
+        # ~20 ms host->TPU tunnel dispatch 1/R for a device-throughput
+        # number; the single-dispatch latency is reported separately.
+        def body(i, carry):
+            inp, acc = carry
+            p = encode_decode(variables, inp)
+            return (inp + (p * 0.0).astype(inp.dtype), acc + p)
+
+        _, acc = jax.lax.fori_loop(0, R, body, (x, jnp.float32(0.0)))
+        return acc
+
+    return encode_decode, encode_decode_rep, R, variables, x
 
 
 def measure(dtype, batch, length, n_iters):
-    fn, variables, x = build(dtype, batch, length)
+    """Returns (p50_per_call_amortized, p50_single_dispatch)."""
+    fn, fn_rep, R, variables, x = build(dtype, batch, length)
     float(fn(variables, x))  # compile + warmup
-    latencies = []
+    float(fn_rep(variables, x))
+    lat_single, lat_rep = [], []
     for _ in range(n_iters):
         t0 = time.perf_counter()
         _ = float(fn(variables, x))
-        latencies.append(time.perf_counter() - t0)
-    p50 = float(np.percentile(latencies, 50))
-    return p50
+        lat_single.append(time.perf_counter() - t0)
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        _ = float(fn_rep(variables, x))
+        lat_rep.append(time.perf_counter() - t0)
+    return (
+        float(np.percentile(lat_rep, 50)) / R,
+        float(np.percentile(lat_single, 50)),
+    )
 
 
 def main():
@@ -74,8 +98,8 @@ def main():
     length = sample_rate * seconds_per_clip
 
     batch = 32
-    p50_bf16 = measure(jnp.bfloat16, batch, length, n_iters=10)
-    p50_f32_b8 = measure(jnp.float32, 8, length, n_iters=6)
+    p50_bf16, p50_bf16_1 = measure(jnp.bfloat16, batch, length, n_iters=10)
+    p50_f32_b8, p50_f32_b8_1 = measure(jnp.float32, 8, length, n_iters=6)
 
     value = batch * seconds_per_clip / p50_bf16
     f32_rtf = 8 * seconds_per_clip / p50_f32_b8
@@ -89,10 +113,14 @@ def main():
                 "vs_baseline": round(value / 20.0, 3),
                 "extra": {
                     "rtf_bf16_b32": round(value, 2),
-                    "p50_latency_ms_bf16_b32": round(p50_bf16 * 1e3, 2),
+                    "p50_device_ms_bf16_b32": round(p50_bf16 * 1e3, 2),
+                    "p50_single_dispatch_ms_bf16_b32": round(p50_bf16_1 * 1e3, 2),
                     "rtf_f32_b8": round(f32_rtf, 2),
-                    "p50_latency_ms_f32_b8": round(p50_f32_b8 * 1e3, 2),
-                    "note": "bf16 convs, f32 RVQ search (exact indices)",
+                    "p50_device_ms_f32_b8": round(p50_f32_b8 * 1e3, 2),
+                    "p50_single_dispatch_ms_f32_b8": round(p50_f32_b8_1 * 1e3, 2),
+                    "note": "bf16 convs, f32 RVQ search (exact indices); "
+                    "device p50 amortizes the remote-tunnel dispatch over 8 "
+                    "in-jit chained calls, single-dispatch includes it",
                     "device": str(jax.devices()[0]),
                 },
             }
