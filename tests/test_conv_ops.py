@@ -227,11 +227,14 @@ class TestFoldedConv:
             codebook_dim=16, strides=(2, 3), wavelet_decoders=(False, True),
             input_format="n c l", use_som=False, vq_type="ema",
         )
-        m_fold = CausalVQAE(lane_fold=True, **kw)
         m_plain = CausalVQAE(lane_fold=False, **kw)
         x = jnp.asarray(rng.normal(size=(2, 1, 4 * 48)).astype(np.float32) * 0.3)
         variables = m_plain.init(jax.random.key(0), x)
         (y0, c0, i0), _ = m_plain.apply(variables, x, mutable=["codebook"])
-        (y1, c1, i1), _ = m_fold.apply(variables, x, mutable=["codebook"])
-        assert (np.asarray(i0) == np.asarray(i1)).all()
-        np.testing.assert_allclose(np.asarray(y0), np.asarray(y1), atol=2e-5)
+        for mode in [True, "enc", "dec"]:
+            m_fold = CausalVQAE(lane_fold=mode, **kw)
+            (y1, c1, i1), _ = m_fold.apply(variables, x, mutable=["codebook"])
+            assert (np.asarray(i0) == np.asarray(i1)).all(), mode
+            np.testing.assert_allclose(
+                np.asarray(y0), np.asarray(y1), atol=2e-5, err_msg=str(mode)
+            )

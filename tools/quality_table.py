@@ -45,6 +45,14 @@ CONFIGS = {
                          "mini_epoch_length": 32, "crop_size": CROP},
         "train_run_args": {"epochs": 40, "gan_loss": False},
     },
+    "rvq8_long": {
+        # 4x-longer rvq8 run: quality-vs-steps trend evidence
+        "use_discriminator": False,
+        "vae_args": {"num_quantizers": 8},
+        "trainer_args": {"batch_size": 8, "accumulation_steps": 1,
+                         "mini_epoch_length": 32, "crop_size": CROP},
+        "train_run_args": {"epochs": 160, "gan_loss": False},
+    },
     "rvq8_gan": {
         "use_discriminator": True,
         "vae_args": {"num_quantizers": 8},
