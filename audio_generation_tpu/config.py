@@ -60,6 +60,8 @@ class VAEConfig:
     compute_dtype: str = "float32"  # set "bfloat16" for MXU-friendly training
     remat_blocks: bool = False  # rematerialize enc/dec blocks in backward
     # (needed for reference-scale batch 4 x accum 32 x 72000 on 16 GB HBM)
+    lane_fold: Any = True  # exact lane-folded execution of low-channel
+    # stacks: true | false | "enc" | "dec" (models/vae.py)
 
     @classmethod
     def from_dict(cls, d: dict) -> "VAEConfig":

@@ -312,5 +312,6 @@ def model_from_config(cfg) -> CausalVQAE:
         bottleneck=cfg.bottleneck,
         energy_kwargs=cfg.energy_kwargs,
         remat_blocks=cfg.remat_blocks,
+        lane_fold=cfg.lane_fold,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
