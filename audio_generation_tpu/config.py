@@ -62,6 +62,19 @@ class VAEConfig:
     # (needed for reference-scale batch 4 x accum 32 x 72000 on 16 GB HBM)
     lane_fold: Any = True  # exact lane-folded execution of low-channel
     # stacks: true | false | "enc" | "dec" (models/vae.py)
+    use_pallas_rvq: bool = False  # inference-only fused Pallas RVQ kernel
+    # (ops/rvq_pallas.py): bit-exact indices vs the XLA scan at parity speed
+    # on v5e (5.8 vs 5.5 ms @ 4800 frames, round 2) — keep False for
+    # training (no codebook updates); requires a uniform codebook_size
+
+    def __post_init__(self):
+        if self.use_pallas_rvq and isinstance(self.codebook_size, (list, tuple)):
+            sizes = set(self.codebook_size)
+            if len(sizes) > 1:
+                raise ValueError(
+                    "use_pallas_rvq requires a uniform codebook_size (the "
+                    f"kernel tiles one stacked codebook array); got {self.codebook_size}"
+                )
 
     @classmethod
     def from_dict(cls, d: dict) -> "VAEConfig":
@@ -93,6 +106,13 @@ class TrainerConfig:
     save_every: int = 5
     spec_loss_weight: float = 0.01
     reconstruction_loss_weight: float = 10.0
+    raw_reconstruction_weight: float = 0.0  # TPU-repo extension: additional
+    # MSE on the *un*-pre-emphasized waveforms. The reference's only
+    # phase-sensitive loss is the pre-emphasized MSE (training.py:330-340);
+    # pre-emphasis (0.97) attenuates content below ~500 Hz by 25-30 dB, so
+    # low-frequency phase gets almost no gradient and SI-SDR plateaus deeply
+    # negative while mel converges (measured: tools/diag_sisdr.py). A raw MSE
+    # term restores gradient pressure across the whole band.
     generator_loss_weight: float = 1.0
     loss_alpha: float = 0.95
     noise_aug_scale: float = 0.0
@@ -115,6 +135,11 @@ class TrainerConfig:
     mesh_axes: Sequence[str] = ("data",)
     debug_nans: bool = False  # jax.debug_nans mode (SURVEY.md §5.2): trap the
     # first NaN-producing op instead of the per-step watchdog
+    eval_every: Optional[int] = 1  # run SNR/SI-SDR/mel evaluation on a fixed
+    # held-out batch every N epochs, logged to metrics.csv (None disables).
+    # The held-out items are the LAST `eval_items` of the dataset and are
+    # excluded from the training permutation.
+    eval_items: int = 8
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainerConfig":

@@ -24,10 +24,13 @@ from audio_generation_tpu.ops.conv import fold_time, unfold_time
 def _pick_fold(length: int, channels: int, target_lanes: int = 128) -> int:
     """Largest fold factor f with f*channels <= target_lanes and f | length.
     1 when channels already fill the lanes (or nothing divides)."""
-    f = max(target_lanes // max(channels, 1), 1)
-    while f > 1 and length % f:
-        f //= 2
-    return f
+    f_max = max(target_lanes // max(channels, 1), 1)
+    # largest divisor of `length` that is <= f_max (not just halvings of
+    # f_max, which could e.g. skip f=3 for length 36000*3 at f_max=6)
+    for f in range(f_max, 1, -1):
+        if length % f == 0:
+            return f
+    return 1
 
 
 class CausalResidualBlock1d(nn.Module):

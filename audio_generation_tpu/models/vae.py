@@ -313,5 +313,6 @@ def model_from_config(cfg) -> CausalVQAE:
         energy_kwargs=cfg.energy_kwargs,
         remat_blocks=cfg.remat_blocks,
         lane_fold=cfg.lane_fold,
+        use_pallas_rvq=cfg.use_pallas_rvq,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )

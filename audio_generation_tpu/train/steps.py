@@ -105,6 +105,12 @@ class StepBuilder:
             )
             metrics["reconstruction_loss"] = rec
             total = total + rec
+            if cfg.raw_reconstruction_weight > 0:
+                raw = L.reconstruction_loss(
+                    x, y, pre_emphasis=None, weight=cfg.raw_reconstruction_weight
+                )
+                metrics["raw_reconstruction_loss"] = raw
+                total = total + raw
         if run.use_commit_loss:
             metrics["commit_loss"] = commit
             total = total + commit

@@ -144,6 +144,14 @@ class Trainer:
         self.d_energies: Optional[list] = None
         self._np_rng = np.random.default_rng(cfg.seed)
 
+        # in-loop evaluation: hold out the LAST eval_items of the dataset
+        # (excluded from the training permutation in _data_iterator) so every
+        # run logs SNR/SI-SDR/mel trajectories to metrics.csv for free
+        self.n_eval = 0
+        if cfg.eval_every is not None and len(self.dataset) >= 4 * cfg.eval_items:
+            self.n_eval = int(cfg.eval_items)
+        self._eval_waves_cache = None
+
         from audio_generation_tpu.utils.metrics import MetricsWriter
 
         self.metrics_writer = MetricsWriter(os.path.join(self.workdir, "metrics.csv"))
@@ -253,7 +261,9 @@ class Trainer:
         `data_workers` thread pool with per-batch RNG streams (deterministic
         for any worker count), and the prefetcher overlaps host->device
         transfer with the device step."""
-        idx = np.arange(len(self.dataset))
+        from audio_generation_tpu.data.loader import parallel_batches, prefetch
+
+        idx = np.arange(len(self.dataset) - self.n_eval)  # eval tail held out
         if shuffle:
             self._np_rng.shuffle(idx)
         B, A = self.cfg.batch_size, self.cfg.accumulation_steps
@@ -262,7 +272,8 @@ class Trainer:
         seed = int(self._np_rng.integers(0, 2**31))
 
         def build(bi: int):
-            rng = np.random.default_rng(seed + bi)
+            # sequence-seeded so (epoch seed, batch index) streams never alias
+            rng = np.random.default_rng([seed, bi])
             items = [
                 self.dataset[int(i)][0] for i in idx[bi * need : (bi + 1) * need]
             ]
@@ -281,8 +292,6 @@ class Trainer:
             )
 
         # overlap host collation + transfer with device compute
-        from audio_generation_tpu.data.loader import parallel_batches, prefetch
-
         sharding = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
@@ -337,11 +346,50 @@ class Trainer:
         self.mini_epoch_i += 1
         return sample
 
+    def eval_batch(self) -> Optional[np.ndarray]:
+        """The fixed held-out (B, L) eval batch (last n_eval dataset items,
+        collated with a constant rng so crops are identical across epochs)."""
+        if self.n_eval == 0:
+            return None
+        if self._eval_waves_cache is None:
+            items = [
+                self.dataset[len(self.dataset) - self.n_eval + i][0]
+                for i in range(self.n_eval)
+            ]
+            self._eval_waves_cache = collate(
+                items,
+                size=self.crop_size,
+                rng=np.random.default_rng(60833),
+                resample_from=self.data_sample_rate,
+                resample_to=self.cfg.sample_rate,
+            )
+        return self._eval_waves_cache
+
+    def evaluate(self) -> Optional[dict]:
+        """SNR/SI-SDR/mel-L1 on the held-out batch with the current params
+        (in-loop analog of audio_generation_tpu.evaluate.evaluate_codec)."""
+        waves = self.eval_batch()
+        if waves is None:
+            return None
+        from audio_generation_tpu.evaluate import evaluate_codec
+
+        m = evaluate_codec(
+            self.model, self._variables(), waves, self.cfg.sample_rate
+        )
+        return {
+            "eval_snr_db": m["snr_db"],
+            "eval_si_sdr_db": m["si_sdr_db"],
+            "eval_mel_l1": m["mel_l1"],
+        }
+
     def train(self, epochs: Optional[int] = None, losses: Optional[list] = None):
         """Full training loop (reference: training.py:416-486)."""
         epochs = epochs if epochs is not None else self.run.epochs
         if losses is None:
             losses = []
+        # epoch sizing is exact reference parity (training.py:426-430):
+        # steps_per_epoch clamps the *item* count, and the mini-epoch count is
+        # items // (mini_epoch_length * batch_size)
         n_steps = len(self.dataset)
         if self.cfg.steps_per_epoch is not None:
             n_steps = min(n_steps, self.cfg.steps_per_epoch)
@@ -377,6 +425,18 @@ class Trainer:
 
             mean_loss = float(np.mean(epoch_losses)) if epoch_losses else float("nan")
             print(f"Epoch {self.epoch} mean loss: {mean_loss:.4f} ({time.time()-t0:.1f}s)")
+            if (
+                self.n_eval
+                and self.cfg.eval_every
+                and self.epoch % self.cfg.eval_every == 0
+            ):
+                ev = self.evaluate()
+                if ev is not None:
+                    self.metrics_writer.write(int(self.state.step), ev)
+                    print(
+                        "\teval: "
+                        + "  ".join(f"{k[5:]} {v:+.3f}" for k, v in ev.items())
+                    )
             self.print_loss_breakdown()
             print_stale_clusters(stale_start, self._stale_clusters())
 
@@ -388,6 +448,7 @@ class Trainer:
 
         if int(self.state.step) != last_saved:
             self.save_state()
+        self.metrics_writer.flush()
         self._save_loss_curve(losses)
         return losses
 

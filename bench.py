@@ -61,7 +61,10 @@ def build(dtype, batch, length):
         def body(i, carry):
             inp, acc = carry
             p = encode_decode(variables, inp)
-            return (inp + (p * 0.0).astype(inp.dtype), acc + p)
+            # NaN-proof zero coupling: if the probe ever goes non-finite,
+            # 0*p would poison every later chained call
+            z = jnp.where(jnp.isfinite(p), p, 0.0) * 0.0
+            return (inp + z.astype(inp.dtype), acc + p)
 
         _, acc = jax.lax.fori_loop(0, R, body, (x, jnp.float32(0.0)))
         return acc

@@ -106,3 +106,42 @@ def test_parity_survives_training_steps(rng):
     with torch.no_grad():
         y_torch = tm(torch.from_numpy(x).double()).numpy()
     np.testing.assert_allclose(np.asarray(y_flax), y_torch, rtol=1e-4, atol=1e-5)
+
+
+def test_wavelet_decoder_waveform_parity(rng):
+    """The flagship DEFAULT decodes one block through the WaveletLayer
+    (models/vae.py wavelet_decoders[1]); its closed-form two-tap overlap-add
+    (audio_generation_tpu/models/wavelets.py:158-189) must match the LITERAL
+    reference formulation (wavelet-train materialization +
+    unfold(n_points, fold_dim).sum(-1) + tail patch-up,
+    networks/wavelets.py:204-231) end to end with transplanted weights."""
+    from torch_mirror import TorchCodec, transplant
+
+    from audio_generation_tpu.models import CausalVQAE
+
+    wd = (False, True, True)  # wavelet upsampling on two decoder blocks
+    model = CausalVQAE(
+        n_blocks=CFG["n_blocks"],
+        n_layers_per_block=CFG["n_layers_per_block"],
+        first_block_channels=CFG["first_block_channels"],
+        codebook_dim=CFG["codebook_dim"],
+        strides=CFG["strides"],
+        wavelet_decoders=wd,
+        input_format="n c l",
+        bottleneck="none",
+        num_quantizers=2,
+        codebook_size=16,
+    )
+    variables = model.init(jax.random.key(4), jnp.zeros((1, 1, 240)))
+    tm = TorchCodec(**CFG, wavelet_decoders=wd)
+    transplant(tm, variables["params"], CFG["n_layers_per_block"])
+    tm.eval()
+
+    x = (rng.normal(size=(2, 1, 24 * 50)) * 0.3).astype(np.float32)
+    (y_flax, _, _), _ = jax.jit(
+        lambda v, x: model.apply(v, x, mutable=["codebook"])
+    )(variables, jnp.asarray(x))
+    with torch.no_grad():
+        y_torch = tm(torch.from_numpy(x).double()).numpy()
+    assert y_flax.shape == y_torch.shape
+    np.testing.assert_allclose(np.asarray(y_flax), y_torch, rtol=1e-4, atol=1e-5)

@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def torch_waveform_parity():
+def torch_waveform_parity(wavelet_decoders=(False,) * 5):
     import jax
     import jax.numpy as jnp
     import torch
@@ -42,7 +42,7 @@ def torch_waveform_parity():
     model = CausalVQAE(
         **{k: v for k, v in cfg.items() if k != "codebook_dim"},
         codebook_dim=cfg["codebook_dim"],
-        wavelet_decoders=tuple([False] * 5),
+        wavelet_decoders=tuple(wavelet_decoders),
         input_format="n c l",
         bottleneck="none",
         num_quantizers=8,
@@ -51,7 +51,7 @@ def torch_waveform_parity():
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((1, 1, 4800)))
-        tm = TorchCodec(**cfg)
+        tm = TorchCodec(**cfg, wavelet_decoders=wavelet_decoders)
         transplant(tm, jax.device_get(variables["params"]))
         tm.eval()
 

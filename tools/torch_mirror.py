@@ -5,8 +5,9 @@ the PyTorch networks/vae.py models". This module builds the reference's
 encoder+decoder architecture in torch (CPU) from the behavioral spec —
 the causal pad law (networks/vae.py:32,39-43), the ConvT right-crop
 (networks/vae.py:58-64), the upsample-then-same-conv upsampler
-(networks/vae.py:66-89), the residual blocks (networks/vae.py:91-117) and
-the encoder/decoder block geometry (networks/vae.py:119-202) — and provides
+(networks/vae.py:66-89), the residual blocks (networks/vae.py:91-117), the
+encoder/decoder block geometry (networks/vae.py:119-202) and the literal
+WaveletLayer overlap-add (networks/wavelets.py:123-231) — and provides
 a weight transplant from the flax CausalVQAE so the SAME weights run through
 both stacks. The bottleneck is identity (the quantizer has no torch
 counterpart in the reference tree; op-level RVQ parity is covered by the
@@ -70,6 +71,49 @@ class CausalUpsampleConv1d(torch.nn.Module):
         return self.conv(x)
 
 
+class WaveletLayer(torch.nn.Module):
+    """The LITERAL reference formulation (networks/wavelets.py:123-231):
+    conv_in (padding='same') -> unsqueeze a wavelet axis -> multiply by the
+    Gabor kernel cos(space)*exp(-space^2/scale) -> flatten (l s) -> overlap-
+    add via unfold(n_points, fold_dim).sum(-1) -> negative-size-diff tail
+    patch-up with raw train samples -> conv_out (padding='same').
+
+    This is the independent check of the repo's closed-form two-tap rewrite
+    (audio_generation_tpu/models/wavelets.py:158-189)."""
+
+    def __init__(self, cin, hidden, cout=None, wavelet_kernel_size=13,
+                 out_conv_kernel_size=3, scale_factor=2, n_points=16,
+                 interval=(-10.0, 10.0), wavelet_scale=40.0,
+                 channelwise_scale=True):
+        super().__init__()
+        assert n_points % scale_factor == 0
+        cout = cin if cout is None else cout
+        self.n_points = n_points
+        self.scale_factor = scale_factor
+        self.fold_dim = n_points // scale_factor
+        self.conv_in = torch.nn.Conv1d(cin, hidden, wavelet_kernel_size, padding="same")
+        self.conv_out = torch.nn.Conv1d(hidden, cout, out_conv_kernel_size, padding="same")
+        space = torch.linspace(interval[0], interval[1], n_points).view(1, 1, 1, n_points)
+        self.register_buffer("space", space)
+        self.register_buffer("cos_kernel", torch.cos(space))
+        ws = torch.tensor(float(wavelet_scale))
+        if channelwise_scale:
+            ws = ws.repeat(hidden).view(1, hidden, 1, 1)
+        self.wavelet_scale = torch.nn.Parameter(ws)
+
+    def forward(self, x):
+        x = self.conv_in(x).unsqueeze(-1)  # (b, h, l, 1)
+        y = self.cos_kernel * torch.exp(-(self.space**2) / self.wavelet_scale) * x
+        b, c, l, s = y.shape
+        y = y.reshape(b, c, l * s)  # "b c l s -> b c (l s)"
+        expected_length = y.shape[-1] // self.fold_dim
+        y_out = y.unfold(-1, self.n_points, self.fold_dim).sum(dim=-1)
+        size_diff = y_out.shape[-1] - expected_length
+        if size_diff < 0:
+            y_out = torch.cat([y_out, y[..., size_diff:]], dim=-1)
+        return self.conv_out(y_out)
+
+
 class CausalResidualBlock1d(torch.nn.Module):
     """x + conv1x1(leaky(conv_k(x, dilation))) (networks/vae.py:91-117)."""
 
@@ -101,12 +145,24 @@ class CausalEncoderBlock(torch.nn.Module):
 
 
 class CausalDecoderBlock(torch.nn.Module):
-    """Upsampler then res blocks (networks/vae.py:150-202); the
-    checkerboard-free upsample variant (wavelet flags off for parity)."""
+    """Upsampler then res blocks (networks/vae.py:150-202): WaveletLayer when
+    the block's wavelet flag is set (networks/vae.py:166-175), else the
+    checkerboard-free upsample variant."""
 
-    def __init__(self, cin, cout, stride, n_layers=4):
+    def __init__(self, cin, cout, stride, n_layers=4, wavelet=False,
+                 wavelet_hidden_ratio=4):
         super().__init__()
-        self.up = CausalUpsampleConv1d(cin, cout, 2 * stride + 1, stride=stride)
+        self.wavelet = wavelet
+        if wavelet:
+            self.up = WaveletLayer(
+                cin, cout * wavelet_hidden_ratio, cout,
+                wavelet_kernel_size=2 * stride + 1,
+                scale_factor=stride,
+                n_points=2 * stride * wavelet_hidden_ratio,
+                channelwise_scale=True,
+            )
+        else:
+            self.up = CausalUpsampleConv1d(cin, cout, 2 * stride + 1, stride=stride)
         self.res = torch.nn.ModuleList(
             [CausalResidualBlock1d(cout, dilation=3**i) for i in range(n_layers - 1)]
         )
@@ -126,9 +182,12 @@ class TorchCodec(torch.nn.Module):
 
     def __init__(self, in_channels=1, n_blocks=3, n_layers_per_block=4,
                  first_block_channels=8, codebook_dim=32, strides=(2, 3, 4),
-                 channel_multiplier=2):
+                 channel_multiplier=2, wavelet_decoders=None):
         super().__init__()
         chans = [first_block_channels * channel_multiplier**i for i in range(n_blocks + 1)]
+        # per-block wavelet flags in config order; the decoder consumes them
+        # REVERSED like the reference (networks/vae.py:237-241)
+        wavelet_decoders = list(wavelet_decoders or [False] * n_blocks)[::-1]
         self.enc_stem = CausalConv1d(in_channels, chans[0], 7)
         self.enc_blocks = torch.nn.ModuleList(
             [
@@ -140,7 +199,9 @@ class TorchCodec(torch.nn.Module):
         self.dec_stem = CausalConvT1d(codebook_dim, chans[-1], 7)
         self.dec_blocks = torch.nn.ModuleList(
             [
-                CausalDecoderBlock(chans[i], chans[i - 1], strides[i - 1], n_layers_per_block)
+                CausalDecoderBlock(chans[i], chans[i - 1], strides[i - 1],
+                                   n_layers_per_block,
+                                   wavelet=wavelet_decoders[i - 1])
                 for i in range(n_blocks, 0, -1)
             ]
         )
@@ -193,10 +254,27 @@ def _load_res(tres, p):
     _load_conv(tres.conv2, p["conv2"])
 
 
+def _load_plain_conv(tconv: torch.nn.Conv1d, p):
+    """Load a flax SameConv1d (K, Cin, Cout) into a bare torch Conv1d."""
+    w, b = _effective_weight(p)
+    tconv.weight.data = torch.from_numpy(np.ascontiguousarray(w.transpose(2, 1, 0)))
+    tconv.bias.data = torch.from_numpy(b)
+
+
+def _load_wavelet(twl: WaveletLayer, p):
+    _load_plain_conv(twl.conv_in, p["conv_in"])
+    _load_plain_conv(twl.conv_out, p["conv_out"])
+    ws = np.asarray(p["wavelet_scale"], dtype=np.float64)
+    if ws.ndim == 2:  # flax channelwise (H, 1) -> torch (1, H, 1, 1)
+        twl.wavelet_scale.data = torch.from_numpy(ws.reshape(1, -1, 1, 1))
+    else:
+        twl.wavelet_scale.data = torch.from_numpy(ws.reshape(()))
+
+
 def transplant(torch_model: TorchCodec, flax_params: dict, n_layers_per_block=4):
     """Copy a flax CausalVQAE's (weight-norm-resolved) generator weights into
-    the torch mirror. flax_params is variables['params'] of a model built
-    with wavelet_decoders all-False."""
+    the torch mirror. flax_params is variables['params'] of a model whose
+    wavelet_decoders flags match the mirror's."""
     _load_conv(torch_model.enc_stem, flax_params["enc_stem"])
     for i, blk in enumerate(torch_model.enc_blocks):
         bp = flax_params[f"enc_blocks_{i}"]
@@ -207,7 +285,10 @@ def transplant(torch_model: TorchCodec, flax_params: dict, n_layers_per_block=4)
     _load_conv(torch_model.dec_stem, flax_params["dec_stem"], transposed=True)
     for i, blk in enumerate(torch_model.dec_blocks):
         bp = flax_params[f"dec_blocks_{i}"]
-        _load_conv(blk.up, bp["up"])
+        if blk.wavelet:
+            _load_wavelet(blk.up, bp["up_wavelet"])
+        else:
+            _load_conv(blk.up, bp["up"])
         for j, r in enumerate(blk.res):
             _load_res(r, bp[f"res{j}"])
     _load_conv(torch_model.dec_out, flax_params["dec_out"])
