@@ -140,6 +140,10 @@ class TrainerConfig:
     # The held-out items are the LAST `eval_items` of the dataset and are
     # excluded from the training permutation.
     eval_items: int = 8
+    grad_clip_norm: Optional[float] = None  # global-norm gradient clipping
+    # for both generator and discriminators (off = reference parity; the
+    # log-mel MSE's eps=1e-8 log can spike gradients when a spectrogram bin
+    # hits zero — observed once as a 1e7x loss excursion, CONVERGE_r03)
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainerConfig":

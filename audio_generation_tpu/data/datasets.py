@@ -54,10 +54,12 @@ class CommonVoice:
 
 
 class LibriSpeech:
-    """LibriSpeech-layout dataset: <root>/<url>/<speaker>/<chapter>/*.wav
+    """LibriSpeech-layout dataset: <root>/<url>/<speaker>/<chapter>/*.{flac,wav}
     (the reference uses torchaudio's LIBRISPEECH at 16 kHz,
-    networks/utils.py:224-226; this walks the same directory structure for
-    wav files — use flac->wav conversion for flac archives)."""
+    networks/utils.py:224-226, consuming the archive AS DISTRIBUTED — flac).
+    Flac files decode through the native C++ decoder
+    (native/flac_decoder.cpp via data/flacio.py), so no conversion pass is
+    needed; wav files are read with the stdlib reader."""
 
     def __init__(self, root: str, url: str = "train-clean-100"):
         base = os.path.join(os.fspath(root), url)
@@ -66,14 +68,16 @@ class LibriSpeech:
         self._files: List[str] = []
         for dirpath, _dirnames, filenames in os.walk(base):
             for fn in sorted(filenames):
-                if fn.endswith(".wav"):
+                if fn.endswith((".wav", ".flac")):
                     self._files.append(os.path.join(dirpath, fn))
 
     def __len__(self) -> int:
         return len(self._files)
 
     def __getitem__(self, n: int) -> Tuple[np.ndarray, int, Dict[str, str]]:
-        waveform, sample_rate = read_wav(self._files[n])
+        from audio_generation_tpu.data.flacio import read_audio
+
+        waveform, sample_rate = read_audio(self._files[n])
         return waveform, sample_rate, {"path": self._files[n]}
 
 

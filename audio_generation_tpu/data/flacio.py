@@ -1,0 +1,121 @@
+"""FLAC file reading via the native decoder (native/flac_decoder.cpp).
+
+The reference ingests LibriSpeech as distributed — .flac — through
+torchaudio's native backend (reference: networks/utils.py:224-226). Here the
+equivalent native component is a dependency-free C++ FLAC decoder compiled
+once into a cached shared library and bound with ctypes (no pybind11 in the
+image). `read_flac` mirrors `wavio.read_wav`: (channels, length) float32 in
+[-1, 1] plus the sample rate.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_LOCK = threading.Lock()
+_LIB = None
+
+_SRC = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+    "flac_decoder.cpp",
+)
+
+
+def _build_dir() -> str:
+    d = os.environ.get(
+        "AUDIO_GEN_TPU_NATIVE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "audio_generation_tpu", "native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _load():
+    """Compile (once, content-addressed) and dlopen the decoder."""
+    global _LIB
+    with _LOCK:
+        if _LIB is not None:
+            return _LIB
+        import hashlib
+
+        with open(_SRC, "rb") as f:
+            tag = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(_build_dir(), f"libflacdec-{tag}.so")
+        if not os.path.exists(so):
+            tmp = so + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        lib.flac_probe.restype = ctypes.c_int
+        lib.flac_probe.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_long),
+        ]
+        lib.flac_decode.restype = ctypes.c_long
+        lib.flac_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        _LIB = lib
+        return lib
+
+
+def probe_flac(path: str):
+    """Returns (channels, sample_rate, bits_per_sample, total_frames)."""
+    lib = _load()
+    with open(path, "rb") as f:
+        data = f.read()
+    ch, sr, bits = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    total = ctypes.c_long()
+    rc = lib.flac_probe(data, len(data), ctypes.byref(ch), ctypes.byref(sr),
+                        ctypes.byref(bits), ctypes.byref(total))
+    if rc != 0:
+        raise ValueError(f"{path}: not a decodable FLAC stream (rc={rc})")
+    return ch.value, sr.value, bits.value, total.value
+
+
+def read_flac(path: str) -> tuple[np.ndarray, int]:
+    """Returns (waveform (channels, length) float32 in [-1, 1], sample_rate)."""
+    lib = _load()
+    with open(path, "rb") as f:
+        data = f.read()
+    ch, sr, bits = ctypes.c_int(), ctypes.c_int(), ctypes.c_int()
+    total = ctypes.c_long()
+    rc = lib.flac_probe(data, len(data), ctypes.byref(ch), ctypes.byref(sr),
+                        ctypes.byref(bits), ctypes.byref(total))
+    if rc != 0:
+        raise ValueError(f"{path}: not a decodable FLAC stream (rc={rc})")
+    # STREAMINFO total may legally be 0 (unknown); fall back to a bound from
+    # the compressed size (flac never expands 16-bit audio by 2x)
+    max_frames = total.value if total.value > 0 else (len(data) * 2) // max(ch.value, 1) + 65536
+    out = np.empty((max_frames, ch.value), dtype=np.int32)
+    n = lib.flac_decode(
+        data, len(data),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_frames,
+        ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bits),
+    )
+    if n < 0:
+        raise ValueError(f"{path}: FLAC decode failed (rc={n})")
+    scale = float(1 << (bits.value - 1))
+    return (out[: int(n)].T.astype(np.float32) / scale), sr.value
+
+
+def read_audio(path: str) -> tuple[np.ndarray, int]:
+    """Dispatch on extension: .flac via the native decoder, else wav."""
+    if path.lower().endswith(".flac"):
+        return read_flac(path)
+    from audio_generation_tpu.data.wavio import read_wav
+
+    return read_wav(path)

@@ -99,6 +99,30 @@ class MultiresScaleBlock(nn.Module):
         return jax.nn.gelu(x)
 
 
+def wavelet_two_tap_weights(kern32, scale_factor: int):
+    """Two-tap closed form of the reference's overlap-add: window o = s*m + r
+    of the contiguously-flattened wavelet train overlaps exactly wavelets m
+    and m+1, so  y[b, s*m + r, h] = x[b,m,h]*A[h,r] + x[b,m+1,h]*B[h,r]  with
+    B[h,r] = sum_{p < r*fold_dim} kern[h,p] and A = total - B.
+
+    kern32: (H, n_points) f32 Gabor kernel. Returns (A, B), each (H, s) f32.
+    """
+    H, n_points = kern32.shape
+    fold_dim = n_points // scale_factor
+    csum = jnp.cumsum(kern32, axis=1)
+    total = csum[:, -1:]
+    starts = np.arange(scale_factor) * fold_dim  # (s,)
+    B_w = jnp.concatenate(
+        [jnp.zeros((H, 1), jnp.float32), csum[:, starts[1:] - 1]], axis=1
+    )  # (H, s); B[:, 0] = 0
+    return total - B_w, B_w
+
+
+def wavelet_kernel(scale, space):
+    """Gabor kernel cos(space)*exp(-space^2/scale), broadcast to (H, n)."""
+    return jnp.cos(space) * jnp.exp(-(space**2) / scale)
+
+
 class WaveletLayer(nn.Module):
     """Learned-wavelet upsampler (reference: networks/wavelets.py:123-234).
 
@@ -152,27 +176,17 @@ class WaveletLayer(nn.Module):
                 lambda key: jnp.asarray(self.wavelet_scale, dtype=jnp.float32),
             )
         # Gabor kernel per hidden channel: (H, n_points)
-        kern = jnp.cos(space) * jnp.exp(-(space**2) / scale)
-        kern = jnp.broadcast_to(kern, (H, self.n_points))
+        kern = jnp.broadcast_to(wavelet_kernel(scale, space), (H, self.n_points))
 
         B, L, _ = x.shape
         s = self.scale_factor
         # The reference materializes the (B, L, H, n_points) wavelet train and
         # overlap-adds it with unfold().sum(-1) (wavelets.py:224-231). That
-        # whole expand+box-sum is LINEAR in x: window o = s*m + r of the
-        # contiguously-flattened train overlaps exactly wavelets m and m+1, so
-        #   y[b, s*m + r, h] = x[b,m,h] * A[h,r] + x[b,m+1,h] * B[h,r]
-        # with B[h,r] = sum_{p < r*fold} kern[h,p] and A = total - B. On TPU
-        # this replaces a ~10x-input-sized f32 intermediate + reduce_window
-        # with two elementwise multiplies (partial sums taken in f32).
+        # whole expand+box-sum is LINEAR in x — see wavelet_two_tap_weights.
+        # On TPU this replaces a ~10x-input-sized f32 intermediate +
+        # reduce_window with two elementwise multiplies (sums taken in f32).
         kern32 = kern.astype(jnp.float32)
-        csum = jnp.cumsum(kern32, axis=1)  # (H, n_points)
-        total = csum[:, -1:]
-        starts = np.arange(s) * fold_dim  # (s,)
-        B_w = jnp.concatenate(
-            [jnp.zeros((H, 1), jnp.float32), csum[:, starts[1:] - 1]], axis=1
-        )  # (H, s); B[:, 0] = 0
-        A_w = total - B_w  # (H, s)
+        A_w, B_w = wavelet_two_tap_weights(kern32, s)  # (H, s) each
         x_next = jnp.concatenate([x[:, 1:], jnp.zeros_like(x[:, :1])], axis=1)
         y = (
             x[:, :, None, :] * A_w.T[None, None].astype(x.dtype)

@@ -158,22 +158,31 @@ def _upsample_phase_fold(kernel_size: int, stride: int):
     return A, m_min, kp
 
 
-def causal_upsample_conv1d_raw(x, w, *, stride: int):
-    """Phase-decomposed upsample-conv WITHOUT the final depth-to-space:
-    returns (B, L, stride*Cout), i.e. the result already in the fold_time
-    layout with f = stride (phase-major). Bias is NOT added (tile it stride
-    times in the folded layout, or add after unfolding)."""
+def upsample_phase_kernel(w, stride: int):
+    """The phase-decomposed kernel of nearest-upsample + 'same' conv:
+    returns (wp, m_min, kp) with wp (kp, Cin, stride*Cout) such that a
+    stride-1 conv of x with wp (padding (-m_min, kp-1+m_min)) followed by
+    depth-to-space equals upsample_nearest + same_conv1d. Folding is done in
+    f32 (exact tap sums); cast wp to the compute dtype at use site."""
     k = w.shape[0]
     cin, cout = w.shape[1], w.shape[2]
     A, m_min, kp = _upsample_phase_fold(k, stride)
-    # fold in f32 (exact tap sums), then cast to the compute dtype
     wp = jnp.einsum("pj,jio->pio", jnp.asarray(A), w.astype(jnp.float32))
     wp = (
         wp.reshape(kp, stride, cin, cout)
         .transpose(0, 2, 1, 3)
         .reshape(kp, cin, stride * cout)
-        .astype(x.dtype)
     )
+    return wp, m_min, kp
+
+
+def causal_upsample_conv1d_raw(x, w, *, stride: int):
+    """Phase-decomposed upsample-conv WITHOUT the final depth-to-space:
+    returns (B, L, stride*Cout), i.e. the result already in the fold_time
+    layout with f = stride (phase-major). Bias is NOT added (tile it stride
+    times in the folded layout, or add after unfolding)."""
+    wp, m_min, kp = upsample_phase_kernel(w, stride)
+    wp = wp.astype(x.dtype)
     return jax.lax.conv_general_dilated(
         x,
         wp,

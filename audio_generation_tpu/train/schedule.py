@@ -20,12 +20,22 @@ def warmup_cosine_schedule(base_lr: float, warmup_iter: int, total_iter: int = 3
     return optax.join_schedules([warmup, cosine], [warmup_iter])
 
 
-def generator_optimizer(base_lr: float, warmup_iter: int, total_iter: int = 300000):
+def generator_optimizer(base_lr: float, warmup_iter: int, total_iter: int = 300000,
+                        clip_norm: float | None = None):
     """Adam(amsgrad) + warmup-cosine, matching the reference entry point
-    (networks/training.py:590-594)."""
-    return optax.amsgrad(warmup_cosine_schedule(base_lr, warmup_iter, total_iter))
+    (networks/training.py:590-594). `clip_norm` prepends global-norm gradient
+    clipping (not in the reference — its log-mel MSE has an eps=1e-8 log that
+    can spike gradients ~1e7x when a spectrogram bin hits zero; clipping turns
+    such rare events into a bounded step instead of a divergence)."""
+    opt = optax.amsgrad(warmup_cosine_schedule(base_lr, warmup_iter, total_iter))
+    if clip_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    return opt
 
 
-def discriminator_optimizer(lr: float):
+def discriminator_optimizer(lr: float, clip_norm: float | None = None):
     """Plain Adam per discriminator (reference: networks/training.py:188)."""
-    return optax.adam(lr)
+    opt = optax.adam(lr)
+    if clip_norm is not None:
+        opt = optax.chain(optax.clip_by_global_norm(clip_norm), opt)
+    return opt

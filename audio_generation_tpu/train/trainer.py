@@ -116,9 +116,12 @@ class Trainer:
             self.codebook_options = [config.vae.num_quantizers]
 
         self.gen_tx = generator_optimizer(
-            config.lr, config.scheduler_warmup, config.scheduler_total_iter
+            config.lr, config.scheduler_warmup, config.scheduler_total_iter,
+            clip_norm=cfg.grad_clip_norm,
         )
-        self.disc_tx = discriminator_optimizer(cfg.discriminator_lr)
+        self.disc_tx = discriminator_optimizer(
+            cfg.discriminator_lr, clip_norm=cfg.grad_clip_norm
+        )
         self.steps = StepBuilder(
             self.model, self.discriminators, self.disc_names, cfg, self.run,
             self.gen_tx, self.disc_tx,

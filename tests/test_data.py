@@ -199,3 +199,70 @@ def test_trainer_iterator_deterministic_across_worker_counts(tmp_path):
     b = batches(4)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(x, y)
+
+
+# --------------------------------------------------------------------------- #
+# Native FLAC decoder (native/flac_decoder.cpp via data/flacio.py)
+# --------------------------------------------------------------------------- #
+
+def _random_pcm16(rng, channels, length):
+    # smooth-ish signal so FIXED predictors produce small residuals, plus
+    # noise so rice coding paths with nonzero quotients are exercised
+    t = np.arange(length)
+    base = (8000 * np.sin(2 * np.pi * 220 * t / 16000)).astype(np.int64)
+    x = np.stack([
+        np.clip(base + rng.integers(-500, 500, length), -32768, 32767)
+        for _ in range(channels)
+    ])
+    return x.astype(np.int64)
+
+
+@pytest.mark.parametrize("subframe", ["verbatim", "fixed0", "fixed1", "fixed2"])
+def test_flac_roundtrip_exact(tmp_path, rng, subframe):
+    """Native decode of spec-valid FLAC streams is sample-exact."""
+    from flac_ref_encoder import encode_flac
+
+    from audio_generation_tpu.data.flacio import probe_flac, read_flac
+
+    pcm = _random_pcm16(rng, 1, 5000)
+    p = tmp_path / f"t_{subframe}.flac"
+    p.write_bytes(encode_flac(pcm, 16000, subframe=subframe))
+    ch, sr, bits, total = probe_flac(str(p))
+    assert (ch, sr, bits, total) == (1, 16000, 16, 5000)
+    wave, sr2 = read_flac(str(p))
+    assert sr2 == 16000 and wave.shape == (1, 5000)
+    np.testing.assert_array_equal(
+        np.round(wave * 32768.0).astype(np.int64), pcm
+    )
+
+
+def test_flac_stereo_roundtrip(tmp_path, rng):
+    from flac_ref_encoder import encode_flac
+
+    from audio_generation_tpu.data.flacio import read_flac
+
+    pcm = _random_pcm16(rng, 2, 3000)
+    p = tmp_path / "st.flac"
+    p.write_bytes(encode_flac(pcm, 24000, subframe="fixed1"))
+    wave, sr = read_flac(str(p))
+    assert sr == 24000 and wave.shape == (2, 3000)
+    np.testing.assert_array_equal(np.round(wave * 32768.0).astype(np.int64), pcm)
+
+
+def test_librispeech_flac_layout(tmp_path, rng):
+    """`dataset: librispeech` trains straight from a flac-layout directory
+    (reference ingests the archive as distributed, networks/utils.py:224-226)."""
+    from flac_ref_encoder import encode_flac
+
+    from audio_generation_tpu.data.datasets import LibriSpeech
+
+    d = tmp_path / "train-clean-100" / "19" / "198"
+    d.mkdir(parents=True)
+    for i in range(3):
+        pcm = _random_pcm16(rng, 1, 2000 + i)
+        (d / f"19-198-{i:04d}.flac").write_bytes(encode_flac(pcm, 16000))
+    ds = LibriSpeech(str(tmp_path))
+    assert len(ds) == 3
+    wave, sr, meta = ds[1]
+    assert sr == 16000 and wave.shape == (1, 2001)
+    assert meta["path"].endswith(".flac")

@@ -273,3 +273,55 @@ def test_context_parallel_encode(rng):
     assert idx_cp.shape == idx_full.shape
     # all shards except shard 0 are exact
     np.testing.assert_array_equal(idx_cp[:, frames_per_shard:], idx_full[:, frames_per_shard:])
+
+
+@pytest.mark.slow
+def test_sharded_checkpoint_resume_step_parity(tmp_path, rng):
+    """Checkpoint save -> restore -> re-shard under a 2-D dp x tp mesh: the
+    post-resume step must numerically match the step an uninterrupted trainer
+    takes (VERDICT.md r2 task 8; restart-under-mesh path:
+    trainer._maybe_resume + parallel/mesh.shard_train_state)."""
+    tr = _trainer_for_parity(
+        tmp_path, {"mesh_shape": [4, 2], "mesh_axes": ["data", "model"]}, "ck"
+    )
+    batch = tr._shard_batch(
+        rng.normal(size=(2, 8, tr.crop_size)).astype(np.float32) * 0.1
+    )
+    codebook_n = jnp.asarray(2, jnp.int32)
+    step_fn = tr.steps.build((1,))
+
+    state1, _, _ = step_fn(tr.state, batch, codebook_n)
+    tr.state = state1
+    tr.save_state()
+
+    # restore while state1 is still live (step_fn donates its state arg)
+    restored = tr.ckpt.restore_latest(tr.state)
+    assert restored is not None
+    from audio_generation_tpu.parallel.mesh import shard_train_state
+
+    state_r = shard_train_state(restored[0], tr.mesh)
+    assert int(state_r.step) == int(state1.step)
+    # the restored state is re-sharded by the placement rules (XLA's post-step
+    # output shardings may differ — that only costs one recompile on resume);
+    # the 'model' axis must actually shard something again
+    specs = {
+        str(l.sharding.spec)
+        for l in jax.tree_util.tree_leaves(state_r.params)
+        if hasattr(l, "sharding")
+    }
+    assert any("model" in s for s in specs), f"resume lost tensor sharding: {specs}"
+
+    # uninterrupted continuation vs the resumed step
+    state2_direct, met_direct, _ = step_fn(state1, batch, codebook_n)
+    state2_resumed, met_resumed, _ = step_fn(state_r, batch, codebook_n)
+
+    np.testing.assert_allclose(
+        float(met_resumed["generator_total"]),
+        float(met_direct["generator_total"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(state2_resumed.params),
+        jax.tree_util.tree_leaves(state2_direct.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)

@@ -87,3 +87,92 @@ def test_encode_iter(codec, rng):
     # matches one-shot streaming on the concatenated wave
     full = stream.encode_stream(np.concatenate(chunks, axis=1))
     np.testing.assert_array_equal(np.concatenate(outs, axis=1), full)
+
+
+# --------------------------------------------------------------------------- #
+# Carried-state streaming (StatefulStreamingCodec)
+# --------------------------------------------------------------------------- #
+from audio_generation_tpu.streaming import StatefulStreamingCodec
+
+
+@pytest.fixture(scope="module")
+def stateful(codec):
+    model, variables = codec
+    return StatefulStreamingCodec(model=model, variables=variables, chunk_frames=5)
+
+
+def _batch_forward(model, variables, x):
+    (y, _, idx), _ = jax.jit(
+        lambda v, a: model.apply(v, a, mutable=["codebook"])
+    )(variables, jnp.asarray(x))
+    return np.asarray(y)[:, 0, :], np.asarray(idx)
+
+
+def test_stateful_encode_bit_exact(codec, stateful, rng):
+    """Carried conv state (the pad law as carry, networks/vae.py:32-43) makes
+    chunked encoding bit-identical to batch encoding from sample 0 — no left
+    context, no recompute."""
+    model, variables = codec
+    x = (rng.normal(size=(2, 1, 24 * 60)) * 0.3).astype(np.float32)
+    (z, _c, idx_b), _ = jax.jit(
+        lambda v, a: model.apply(v, a, method="encode", mutable=["codebook"])
+    )(variables, jnp.asarray(x))
+    codes = stateful.encode_stream(x[:, 0, :])
+    assert np.array_equal(codes, np.asarray(idx_b))
+
+
+def test_stateful_decode_is_delayed_batch(codec, stateful, rng):
+    """Streamed decode == batch decode shifted by exactly latency_samples
+    (the decoder's algorithmic lookahead), with pre-stream warmup masked to
+    the batch pad-law zeros."""
+    model, variables = codec
+    x = (rng.normal(size=(2, 1, 24 * 60)) * 0.3).astype(np.float32)
+    y_b, _ = _batch_forward(model, variables, x)
+    codes = stateful.encode_stream(x[:, 0, :])
+    y_s = stateful.decode_stream(codes)
+    D, T = stateful.latency_samples, y_b.shape[1]
+    assert 0 < D < T
+    margin = 200  # the wavelet tail patch-up only exists at the batch clip end
+    np.testing.assert_allclose(
+        y_s[:, D : T - margin], y_b[:, : T - D - margin], rtol=1e-5, atol=1e-6
+    )
+
+
+def test_stateful_chunk_size_invariance(codec, stateful, rng):
+    """The emitted stream must not depend on the chunking."""
+    model, variables = codec
+    x = (rng.normal(size=(1, 1, 24 * 60)) * 0.3).astype(np.float32)
+    big = StatefulStreamingCodec(model=model, variables=variables, chunk_frames=30)
+    c_small = stateful.encode_stream(x[:, 0, :])
+    c_big = big.encode_stream(x[:, 0, :])
+    assert np.array_equal(c_small, c_big)
+    y_small = stateful.decode_stream(c_small)
+    y_big = big.decode_stream(c_big)
+    np.testing.assert_allclose(y_small, y_big, rtol=1e-5, atol=1e-6)
+
+
+def test_stateful_iter_apis(codec, stateful, rng):
+    """encode_iter/decode_iter: chunk-in chunk-out with stable shapes."""
+    model, variables = codec
+    stride = model.scale_factor
+    x = (rng.normal(size=(1, 24 * 30)) * 0.3).astype(np.float32)
+    chunks = [x[:, i : i + 5 * stride] for i in range(0, x.shape[1], 5 * stride)]
+    code_chunks = list(stateful.encode_iter(iter(chunks)))
+    assert all(c.shape == (1, 5, SMALL["num_quantizers"]) for c in code_chunks)
+    wave_chunks = list(stateful.decode_iter(iter(code_chunks)))
+    assert all(w.shape == (1, 5 * stride) for w in wave_chunks)
+
+
+def test_stateful_matches_overlap_save(codec, stateful, rng):
+    """The carried-state path agrees with the overlap-save reference
+    implementation on interior samples."""
+    model, variables = codec
+    x = (rng.normal(size=(1, 1, 24 * 60)) * 0.3).astype(np.float32)
+    ols = StreamingCodec(model=model, variables=variables, chunk_frames=10,
+                         ctx_left=40, ctx_right=8)
+    c_ols = ols.encode_stream(x[:, 0, :])
+    c_st = stateful.encode_stream(x[:, 0, :])
+    # overlap-save is only exact once ctx_left covers the receptive field;
+    # carried state is exact everywhere — compare the tail half
+    T = c_ols.shape[1]
+    assert np.array_equal(c_st[:, T // 2 :], c_ols[:, T // 2 :])

@@ -1,0 +1,202 @@
+"""QUALITY_r03 — the round-3 flagship training campaign (VERDICT.md task 1).
+
+Long, resumable TPU training runs per config with in-loop SI-SDR/SNR/mel
+trajectories (trainer eval hooks -> metrics.csv), wall-clock-budgeted so the
+campaign fits the round:
+
+  rvq8_hifi      no-GAN RVQ-8 flagship, waveform-loss weighting fixed
+                 (reference reconstruction_loss_weight=100 + raw MSE term;
+                 see CONVERGE_r03.json / tools/diag_sisdr.py)
+  rvq8_gan_hifi  the same codec trained adversarially (one-sampled
+                 discriminator, full bank) at matched wall-clock
+  energy_hifi    energy-transformer bottleneck at matched wall-clock
+                 (re-tests reference README.md:56 "much stronger than RVQ")
+
+Each run is checkpointed (Orbax) and RESUMES when the script is re-invoked,
+so the campaign survives interruptions. Artifacts per config:
+QUALITY_r03/<name>.json, reconstruction + unconditional-sample wavs, and the
+full metrics.csv trajectory under QUALITY_r03/runs/<name>/.
+
+Usage:
+  python tools/quality_r03.py [--hours-per-config H] [names...]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT_DIR = "QUALITY_r03"
+SR, CROP = 24000, 36000
+
+BASE_TRAINER = {
+    "batch_size": 8,
+    "accumulation_steps": 1,
+    "mini_epoch_length": 32,
+    "crop_size": CROP,
+    "reconstruction_loss_weight": 100.0,  # the reference config value
+    # (reference config/training.yml:28); round-2 runs used the code default
+    # 10 and plateaued at SI-SDR -30 dB (QUALITY_r02.md)
+    "raw_reconstruction_weight": 100.0,   # un-pre-emphasized MSE: restores
+    # gradient at the f0 band that pre-emphasis removes (tools/diag_sisdr.py)
+    "grad_clip_norm": 10.0,               # one unclipped run showed a 1e7x
+    # log-mel gradient excursion (CONVERGE_r03.json f32_w10_raw0)
+    "eval_every": 2,
+}
+
+CONFIGS = {
+    "rvq8_hifi": {
+        "use_discriminator": False,
+        "vae_args": {"num_quantizers": 8},
+        "trainer_args": dict(BASE_TRAINER),
+        "train_run_args": {"gan_loss": False},
+    },
+    "rvq8_gan_hifi": {
+        "use_discriminator": True,
+        "vae_args": {"num_quantizers": 8},
+        "trainer_args": dict(BASE_TRAINER, use_one_discriminator=True),
+        "train_run_args": {},
+    },
+    "energy_hifi": {
+        "use_discriminator": False,
+        "vae_args": {"num_quantizers": 8, "bottleneck": "energy",
+                     "energy_kwargs": {"n_iters": 8}},
+        "trainer_args": dict(BASE_TRAINER),
+        "train_run_args": {"gan_loss": False, "use_commit_loss": False},
+    },
+}
+
+EPOCHS_PER_CHUNK = 4  # ~31 steps/epoch; checkpoint + eval cadence
+
+
+def eval_batch(n=16, seed=1234):
+    from audio_generation_tpu.data.datasets import SyntheticAudio
+
+    ds = SyntheticAudio(length=CROP, sample_rate=SR, n_items=n, seed=seed)
+    return np.stack([np.asarray(ds[i][0])[0] for i in range(len(ds))])
+
+
+def run_config(name: str, hours: float, dtype: str):
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.data import write_wav
+    from audio_generation_tpu.evaluate import evaluate_codec
+    from audio_generation_tpu.train.trainer import Trainer
+
+    spec = json.loads(json.dumps(CONFIGS[name]))  # deep copy
+    spec["vae_args"]["compute_dtype"] = dtype
+    cfg = ExperimentConfig.from_dict(
+        {
+            "experiment_name": name,
+            "dataset": "synthetic",
+            "sample_rate": SR,
+            "scratch_train": False,  # RESUME if checkpoints exist
+            "save_path_root": os.path.join(OUT_DIR, "runs") + "/",
+            **spec,
+        }
+    )
+    trainer = Trainer(cfg)
+    waves = eval_batch()
+    if int(trainer.state.step) == 0:
+        before = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
+        with open(os.path.join(OUT_DIR, f"{name}.before.json"), "w") as f:
+            json.dump({k: round(v, 4) for k, v in before.items()}, f)
+
+    deadline = time.time() + hours * 3600
+    losses = []
+    while time.time() < deadline:
+        trainer.train(epochs=EPOCHS_PER_CHUNK, losses=losses)
+        print(f"[{name}] step {int(trainer.state.step)} "
+              f"({(deadline - time.time())/60:.0f} min left)", flush=True)
+
+    after = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
+    before = json.load(open(os.path.join(OUT_DIR, f"{name}.before.json")))
+
+    # artifacts: held-out reconstruction + unconditional sample
+    y = trainer.reconstruct(waves[0])
+    write_wav(os.path.join(OUT_DIR, f"{name}_recon.wav"), y, SR)
+    write_wav(os.path.join(OUT_DIR, f"{name}_orig.wav"),
+              waves[0][: len(y)], SR)
+    if trainer.model.bottleneck == "rvq":
+        import jax
+
+        sample = trainer.model.apply(
+            trainer._variables(), jax.random.key(0), 225, method="sample",
+            mutable=["codebook"],
+        )[0]
+        s = np.asarray(sample)
+        s = s[0, 0] if s.ndim == 3 else s[0]
+        write_wav(os.path.join(OUT_DIR, f"{name}_uncond_sample.wav"),
+                  s.astype(np.float32), SR)
+
+    if trainer.model.bottleneck == "rvq":
+        # codebook-usage artifact from the TRAINED checkpoint (VERDICT task 9;
+        # reference demos this via animate_sound, networks/utils.py:261-296).
+        # ffmpeg is absent in this image, so save the SOM-grid heatmap frames
+        # as a PNG montage + the raw tensor.
+        from audio_generation_tpu.utils.codebook_viz import sound_to_codebooks
+
+        x0 = trainer.steps._model_input(
+            np.asarray(waves[:1], dtype=np.float32)
+        )
+        grid = sound_to_codebooks(x0, trainer.model, trainer._variables())
+        np.save(os.path.join(OUT_DIR, f"{name}_codebook_usage.npy"), grid)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            n_show = min(12, grid.shape[0])
+            fig, axes = plt.subplots(2, 6, figsize=(14, 5))
+            for ai, ax in enumerate(axes.ravel()):
+                fi = ai * max(grid.shape[0] // n_show, 1)
+                ax.imshow(grid[min(fi, grid.shape[0] - 1)], cmap="viridis")
+                ax.set_title(f"frame {fi}", fontsize=8)
+                ax.axis("off")
+            fig.suptitle(f"{name}: SOM-grid codebook usage (trained)")
+            fig.savefig(os.path.join(OUT_DIR, f"{name}_codebook_usage.png"),
+                        dpi=110, bbox_inches="tight")
+            plt.close(fig)
+        except Exception:
+            pass
+
+    result = {
+        "config": name,
+        "dtype": dtype,
+        "steps": int(trainer.state.step),
+        "hours": hours,
+        "loss_last16": float(np.mean(losses[-16:])) if losses else None,
+        "before": before,
+        "after": {k: round(float(v), 4) for k, v in after.items()},
+    }
+    with open(os.path.join(OUT_DIR, f"{name}.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours-per-config", type=float, default=2.5)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("names", nargs="*", default=None)
+    args = ap.parse_args()
+    os.makedirs(OUT_DIR, exist_ok=True)
+    names = args.names or list(CONFIGS)
+    for name in names:
+        out = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(out):
+            print(f"skip {name} (final artifact exists)")
+            continue
+        print(f"=== {name} ({args.hours_per_config} h) ===", flush=True)
+        run_config(name, args.hours_per_config, args.dtype)
+
+
+if __name__ == "__main__":
+    main()
