@@ -41,15 +41,27 @@ def si_sdr_db(reference, estimate, eps: float = 1e-12):
     return 10.0 * jnp.log10(ratio + eps)
 
 
+_MEL_CACHE: dict = {}
+
+
 def mel_distance(reference, estimate, sample_rate: int, windows: Sequence[int] = (512, 1024, 2048)):
     """Mean L1 distance between log-mel spectrograms across windows."""
-    bank = make_mel_bank(sample_rate, windows)
-    total = 0.0
-    for mel in bank:
-        a = jnp.log(mel(jnp.asarray(reference)) + 1e-5)
-        b = jnp.log(mel(jnp.asarray(estimate)) + 1e-5)
-        total = total + jnp.mean(jnp.abs(a - b))
-    return total / len(bank)
+    key = (sample_rate, tuple(windows))
+    fn = _MEL_CACHE.get(key)
+    if fn is None:
+        bank = make_mel_bank(sample_rate, windows)
+
+        @jax.jit
+        def fn(a_in, b_in):
+            total = 0.0
+            for mel in bank:
+                a = jnp.log(mel(a_in) + 1e-5)
+                b = jnp.log(mel(b_in) + 1e-5)
+                total = total + jnp.mean(jnp.abs(a - b))
+            return total / len(bank)
+
+        _MEL_CACHE[key] = fn
+    return fn(jnp.asarray(reference), jnp.asarray(estimate))
 
 
 def codec_bitrate_bps(num_quantizers: int, codebook_size, sample_rate: int, stride: int) -> float:
@@ -59,6 +71,25 @@ def codec_bitrate_bps(num_quantizers: int, codebook_size, sample_rate: int, stri
     return bits_per_frame * sample_rate / stride
 
 
+_FWD_CACHE: dict = {}
+
+
+def _jitted_eval_forward(model):
+    """Jit-per-model eval forward (eager per-op dispatch through the remote
+    TPU tunnel costs seconds per op — minutes per eval batch)."""
+    fn = _FWD_CACHE.get(model)
+    if fn is None:
+        @jax.jit
+        def fn(variables, inp, codebook_n):
+            (y, _commit, indices), _ = model.apply(
+                variables, inp, False, codebook_n, mutable=["codebook"]
+            )
+            return y, indices
+
+        _FWD_CACHE[model] = fn
+    return fn
+
+
 def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebook_n: Optional[int] = None):
     """Round-trip a batch of (B, L) waveforms; returns a metrics dict."""
     x = jnp.asarray(waves, dtype=jnp.float32)
@@ -66,9 +97,7 @@ def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebo
     L = (x.shape[-1] // stride) * stride
     x = x[:, :L]
     inp = x[:, :, None] if model.input_format == "b l c" else x[:, None, :]
-    (y, _commit, indices), _ = model.apply(
-        variables, inp, False, codebook_n, mutable=["codebook"]
-    )
+    y, indices = _jitted_eval_forward(model)(variables, inp, codebook_n)
     y = y[:, :, 0] if model.input_format == "b l c" else y[:, 0, :]
     return {
         "snr_db": float(jnp.mean(snr_db(x, y))),
