@@ -1,4 +1,6 @@
-"""Streaming codec demo: chunked encode/decode of an arbitrary-length clip.
+"""Streaming codec demo: chunked encode/decode of an arbitrary-length clip
+with carried conv state (bit-exact vs batch; see
+audio_generation_tpu/streaming.py).
 
 Run: python examples/streaming_demo.py
 """
@@ -14,7 +16,7 @@ import numpy as np
 
 from audio_generation_tpu.data import SyntheticAudio, write_wav
 from audio_generation_tpu.models import CausalVQAE
-from audio_generation_tpu.streaming import StreamingCodec
+from audio_generation_tpu.streaming import StatefulStreamingCodec
 
 
 def main():
@@ -24,14 +26,21 @@ def main():
         input_format="n c l", vq_type="ema",
     )
     x0 = jnp.zeros((1, 1, 72000))
-    variables = model.init(jax.random.key(0), x0)
+    variables = jax.jit(model.init)(jax.random.key(0), x0)
 
-    codec = StreamingCodec(model, variables, chunk_frames=50)  # 1 s chunks @24k
-    wave = SyntheticAudio(length=codec.chunk * 5, sample_rate=sr, n_items=1)[0][0]
+    codec = StatefulStreamingCodec(model=model, variables=variables,
+                                   chunk_frames=5)  # 100 ms chunks @ 24 kHz
+    wave = SyntheticAudio(length=codec.chunk * 25, sample_rate=sr, n_items=1)[0][0]
 
-    print(f"stride {model.scale_factor}, chunk {codec.chunk} samples, "
-          f"decoder latency {codec.latency_seconds} samples")
-    codes = codec.encode_stream(wave.astype(np.float32))
+    print(f"stride {model.scale_factor}, chunk {codec.chunk} samples "
+          f"({1000 * codec.chunk / sr:.0f} ms), decoder algorithmic latency "
+          f"{codec.latency_samples} samples ({1000 * codec.latency_samples / sr:.1f} ms)")
+
+    # chunk-by-chunk, as a live stream would arrive
+    wave = wave.astype(np.float32)
+    chunks = (wave[:, s : s + codec.chunk] for s in range(0, wave.shape[-1], codec.chunk))
+    code_chunks = list(codec.encode_iter(chunks))
+    codes = np.concatenate(code_chunks, axis=1)
     print(f"encoded {wave.shape[-1]} samples -> codes {codes.shape} "
           f"({codes.shape[1] * 8 * np.log2(1024) / (wave.shape[-1] / sr) / 1000:.1f} kbps)")
     recon = codec.decode_stream(codes)

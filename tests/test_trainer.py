@@ -319,3 +319,31 @@ def test_single_quantizer_codebook_n(tmp_path, tiny_dataset):
     for _ in range(5):
         active, codebook_n = tr._pick_discriminator()
         assert active == () and codebook_n == 1
+
+
+def test_grad_clip_norm_bounds_update():
+    """generator_optimizer(clip_norm=c): a pathological gradient (the log-mel
+    eps spike observed in CONVERGE_r03) produces a bounded update."""
+    import optax
+
+    from audio_generation_tpu.train.schedule import generator_optimizer
+
+    params = {"w": jnp.ones((4, 4))}
+    huge = {"w": jnp.full((4, 4), 1e7)}
+    tx = generator_optimizer(1e-3, warmup_iter=0, total_iter=100, clip_norm=1.0)
+    state = tx.init(params)
+    updates, _ = tx.update(huge, state, params)
+    clipped_norm = float(optax.global_norm(updates))
+    # adam-normalized updates are bounded ~lr regardless, but the clip must
+    # also bound the RAW gradient the moments see: apply twice and check the
+    # second-moment state stays finite and small
+    assert np.isfinite(clipped_norm)
+
+    tx_noclip = generator_optimizer(1e-3, warmup_iter=0, total_iter=100)
+    s2 = tx_noclip.init(params)
+    _, s2 = tx_noclip.update(huge, s2, params)
+    s1 = tx.init(params)
+    _, s1 = tx.update(huge, s1, params)
+    nu_clip = optax.tree_utils.tree_get(s1, "nu")
+    nu_noclip = optax.tree_utils.tree_get(s2, "nu")
+    assert float(jnp.max(nu_clip["w"])) < float(jnp.max(nu_noclip["w"])) / 1e6

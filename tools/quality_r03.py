@@ -185,8 +185,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--hours-per-config", type=float, default=2.5)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--markdown", action="store_true")
     ap.add_argument("names", nargs="*", default=None)
     args = ap.parse_args()
+    if args.markdown:
+        write_markdown()
+        return
     os.makedirs(OUT_DIR, exist_ok=True)
     names = args.names or list(CONFIGS)
     for name in names:
@@ -195,8 +199,82 @@ def main():
             print(f"skip {name} (final artifact exists)")
             continue
         print(f"=== {name} ({args.hours_per_config} h) ===", flush=True)
-        run_config(name, args.hours_per_config, args.dtype)
+        try:
+            run_config(name, args.hours_per_config, args.dtype)
+        except Exception as e:  # a crashed config must not kill the campaign
+            import traceback
+
+            traceback.print_exc()
+            with open(os.path.join(OUT_DIR, f"{name}.error.txt"), "w") as f:
+                f.write(traceback.format_exc())
+            print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)
+    write_markdown()
 
 
 if __name__ == "__main__":
     main()
+
+
+def write_markdown():
+    """QUALITY_r03.md: per-config results + trajectory excerpts + the two
+    reference-claim verdicts (GAN-at-matched-wallclock, energy-vs-RVQ)."""
+    import csv
+
+    rows = []
+    for name in CONFIGS:
+        p = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(p):
+            rows.append(json.load(open(p)))
+    if not rows:
+        print("no results yet")
+        return
+
+    def traj(name):
+        p = os.path.join(OUT_DIR, "runs", name, "metrics.csv")
+        if not os.path.exists(p):
+            return []
+        out = []
+        for r in csv.DictReader(open(p)):
+            if r.get("eval_si_sdr_db"):
+                out.append((int(r["step"]), float(r["eval_si_sdr_db"]),
+                            float(r["eval_snr_db"]), float(r["eval_mel_l1"])))
+        return out
+
+    lines = [
+        "# QUALITY_r03 — flagship training campaign (VERDICT.md r2 task 1)",
+        "",
+        f"Wall-clock-budgeted bf16 runs on the synthetic dataset (TPU v5e, crop "
+        f"{CROP} @ {SR} Hz, batch 8, reconstruction_loss_weight=100 [the "
+        "reference config value] + raw_reconstruction_weight=100 [framework "
+        "extension; see tools/diag_sisdr.py], grad clip 10). Evaluated on a "
+        "held-out synthetic batch (seed 1234); in-loop trajectories in "
+        f"`{OUT_DIR}/runs/<name>/metrics.csv`. Wav + codebook-usage artifacts "
+        f"per config under `{OUT_DIR}/`.",
+        "",
+        "| config | steps | SNR dB (init→) | SI-SDR dB (init→) | mel-L1 (init→) | kbps |",
+        "|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        b, a = r["before"], r["after"]
+        lines.append(
+            f"| {r['config']} | {r['steps']} | "
+            f"{b['snr_db']:.2f}→{a['snr_db']:.2f} | "
+            f"{b['si_sdr_db']:.2f}→{a['si_sdr_db']:.2f} | "
+            f"{b['mel_l1']:.3f}→{a['mel_l1']:.3f} | "
+            f"{a['bitrate_bps']/1000:.1f} |"
+        )
+    lines.append("")
+    lines.append("## SI-SDR / mel trajectories (held-out, in-loop eval)")
+    lines.append("")
+    for r in rows:
+        t = traj(r["config"])
+        if not t:
+            continue
+        pts = t[:: max(len(t) // 12, 1)] + [t[-1]]
+        lines.append(f"**{r['config']}**: " + "  ".join(
+            f"s{s}: {si:+.1f}dB/{mel:.2f}" for s, si, _snr, mel in pts
+        ) + "  (step: SI-SDR/mel-L1)")
+        lines.append("")
+    with open("QUALITY_r03.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"wrote QUALITY_r03.md ({len(rows)} configs)")
