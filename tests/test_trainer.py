@@ -347,3 +347,29 @@ def test_grad_clip_norm_bounds_update():
     nu_clip = optax.tree_utils.tree_get(s1, "nu")
     nu_noclip = optax.tree_utils.tree_get(s2, "nu")
     assert float(jnp.max(nu_clip["w"])) < float(jnp.max(nu_noclip["w"])) / 1e6
+
+
+def test_in_loop_eval_columns_in_metrics(tmp_path, tiny_dataset):
+    """Per-epoch held-out evaluation (VERDICT r2 task 6): eval_snr_db /
+    eval_si_sdr_db / eval_mel_l1 columns land in metrics.csv, and the eval
+    tail is excluded from the training permutation."""
+    import csv
+
+    tr = make_trainer(
+        tmp_path, tiny_dataset, gan=False,
+        trainer_args={
+            "batch_size": 2, "accumulation_steps": 1, "mini_epoch_length": 2,
+            "spec_windows": [32, 64], "eval_every": 1, "eval_items": 2,
+        },
+    )
+    assert tr.n_eval == 2
+    waves = tr.eval_batch()
+    assert waves.shape == (2, tr.crop_size)
+    tr.train(epochs=1)
+    with open(os.path.join(tr.workdir, "metrics.csv")) as f:
+        rows = list(csv.DictReader(f))
+    cols = rows[0].keys()
+    for c in ("eval_snr_db", "eval_si_sdr_db", "eval_mel_l1"):
+        assert c in cols
+        vals = [r[c] for r in rows if r.get(c)]
+        assert vals and all(np.isfinite(float(v)) for v in vals)

@@ -121,15 +121,24 @@ def backend_index_parity():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PARITY_r02.json")
+    ap.add_argument("--out", default="PARITY_r03.json")
     args = ap.parse_args()
 
     report = {
         "torch_waveform_parity": torch_waveform_parity(),
+        # the DEFAULT config decodes block 1 through the WaveletLayer
+        # (models/vae.py wavelet_decoders=(F,T,F,F,F)); its closed-form
+        # rewrite is checked against the literal reference formulation
+        # (networks/wavelets.py:204-231) rebuilt in tools/torch_mirror.py
+        "torch_waveform_parity_wavelet_default": torch_waveform_parity(
+            wavelet_decoders=(False, True, False, False, False)
+        ),
         "backend_index_parity": backend_index_parity(),
     }
     report["pass"] = bool(
-        report["torch_waveform_parity"]["pass"] and report["backend_index_parity"]["pass"]
+        report["torch_waveform_parity"]["pass"]
+        and report["torch_waveform_parity_wavelet_default"]["pass"]
+        and report["backend_index_parity"]["pass"]
     )
     out = os.path.join(os.path.dirname(__file__), "..", args.out)
     with open(out, "w") as f:
