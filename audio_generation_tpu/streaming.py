@@ -116,8 +116,10 @@ class StreamingCodec:
         return self.decode_stream(self.encode_stream(wave))
 
     @property
-    def latency_seconds(self):
-        """Algorithmic decoder latency from the lookahead hold-back."""
+    def latency_samples(self):
+        """Algorithmic decoder latency (in samples) from the lookahead
+        hold-back — an upper bound; the carried-state codec tracks the exact
+        value."""
         return self.ctx_right * self.stride
 
     def encode_iter(self, chunks: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
@@ -519,10 +521,9 @@ class StatefulStreamingCodec:
             tuple(jnp.int32(0) for _ in self._dec_ops),
         )
 
-    @property
-    def latency_seconds(self):
+    def latency_seconds(self, sample_rate: int) -> float:
         """Exact algorithmic decoder latency (excludes chunk buffering)."""
-        return self.latency_samples  # in samples; divide by sample rate
+        return self.latency_samples / sample_rate
 
     # ------------------------------------------------------------------ #
     def encode_iter(self, chunks: Iterable[np.ndarray]) -> Iterator[np.ndarray]:
