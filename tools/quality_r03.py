@@ -130,7 +130,10 @@ def run_config(name: str, hours: float, dtype: str):
             mutable=["codebook"],
         )[0]
         s = np.asarray(sample)
-        s = s[0, 0] if s.ndim == 3 else s[0]
+        if s.ndim == 3:  # (B, L, 1) for "b l c", (B, 1, L) for "n c l"
+            s = s[0, :, 0] if trainer.model.input_format == "b l c" else s[0, 0, :]
+        else:
+            s = s[0]
         write_wav(os.path.join(OUT_DIR, f"{name}_uncond_sample.wav"),
                   s.astype(np.float32), SR)
 
