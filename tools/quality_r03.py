@@ -214,8 +214,6 @@ def main():
     write_markdown()
 
 
-if __name__ == "__main__":
-    main()
 
 
 def write_markdown():
@@ -281,3 +279,6 @@ def write_markdown():
     with open("QUALITY_r03.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote QUALITY_r03.md ({len(rows)} configs)")
+
+if __name__ == "__main__":
+    main()
