@@ -76,8 +76,10 @@ _FWD_CACHE: dict = {}
 
 def _jitted_eval_forward(model):
     """Jit-per-model eval forward (eager per-op dispatch through the remote
-    TPU tunnel costs seconds per op — minutes per eval batch)."""
-    fn = _FWD_CACHE.get(model)
+    TPU tunnel costs seconds per op — minutes per eval batch). Keyed by repr:
+    modules with dict-valued fields (e.g. energy_kwargs) are unhashable."""
+    key = repr(model)
+    fn = _FWD_CACHE.get(key)
     if fn is None:
         @jax.jit
         def fn(variables, inp, codebook_n):
@@ -86,7 +88,7 @@ def _jitted_eval_forward(model):
             )
             return y, indices
 
-        _FWD_CACHE[model] = fn
+        _FWD_CACHE[key] = fn
     return fn
 
 
