@@ -276,6 +276,78 @@ def write_markdown():
             f"s{s}: {si:+.1f}dB/{mel:.2f}" for s, si, _snr, mel in pts
         ) + "  (step: SI-SDR/mel-L1)")
         lines.append("")
+    by = {r["config"]: r for r in rows}
+    lines += ["## Findings", ""]
+    if "rvq8_hifi" in by:
+        a = by["rvq8_hifi"]["after"]
+        lines += [
+            f"1. **The codec now demonstrably works** (VERDICT r2 task 1): "
+            f"`rvq8_hifi` reaches **SI-SDR {a['si_sdr_db']:+.2f} dB / SNR "
+            f"{a['snr_db']:+.2f} dB / mel-L1 {a['mel_l1']:.2f}** at 4 kbps "
+            f"after {by['rvq8_hifi']['steps']} steps (~2.2 h on one v5e) — vs "
+            "the round-2 plateau of SI-SDR -30 dB. The unlock was loss "
+            "weighting, not scale: pre-emphasis (0.97) removes 19 dB of the "
+            "synthetic data's power (85% of energy < 500 Hz) before the only "
+            "phase-sensitive loss, so round 2's codecs matched spectra but "
+            "never low-frequency phase (tools/diag_sisdr.py). With the "
+            "reference's reconstruction_loss_weight=100 + a raw "
+            "(un-pre-emphasized) MSE term, SI-SDR rises monotonically "
+            "(-42 dB -> +5 dB in-loop; no plateau yet at budget end).",
+            "",
+        ]
+    if "rvq8_gan_hifi" in by and "rvq8_hifi" in by:
+        g = by["rvq8_gan_hifi"]
+        lines += [
+            f"2. **GAN vs no-GAN** (reference README.md:58 regime): at matched "
+            f"STEPS (~4k) the adversarial run is at parity — GAN mel "
+            f"{g['after']['mel_l1']:.2f} / SI-SDR {g['after']['si_sdr_db']:+.1f} "
+            "vs no-GAN ~1.1 / ~+0.5 from the rvq8_hifi trajectory — i.e. the "
+            "one-sampled-discriminator GAN trains stably WITHOUT harming "
+            "reconstruction, as the reference claims. At matched wall-clock "
+            "the no-GAN run is ahead simply because GAN steps cost ~3x more "
+            "(D forwards + updates) plus one compile per sampled "
+            "discriminator (and this run additionally lost ~49 min to a hung "
+            "remote compile — see the note in rvq8_gan_hifi.json). "
+            "On synthetic harmonic data the discriminator's perceptual "
+            "advantage has nothing to bite on; the mechanism evidence is "
+            "stability + parity, not superiority.",
+            "",
+        ]
+    if "energy_hifi" in by and "rvq8_hifi" in by:
+        e = by["energy_hifi"]
+        lines += [
+            f"3. **Energy-transformer bottleneck vs RVQ** (reference "
+            f"README.md:56 \"much stronger than RVQ\"): a SPLIT verdict at "
+            f"this 20x-longer horizon. Per optimizer step the energy "
+            f"bottleneck now LEADS — SI-SDR {e['after']['si_sdr_db']:+.1f} dB "
+            f"at {e['steps']} steps vs RVQ-8's +1.8 dB at ~6.7k steps "
+            "(in-loop trajectory) — reversing the round-2 toy-scale result "
+            "and giving the reference's claim its first supporting evidence "
+            "in this repo. Per unit COMPUTE, RVQ-8 still wins: the 8-iteration "
+            "energy descent makes each step ~1.5x slower, and at matched "
+            f"wall-clock (~1.6 h) RVQ-8 sits ~+4 dB vs energy's "
+            f"{e['after']['si_sdr_db']:+.1f}, finishing at "
+            f"{by['rvq8_hifi']['after']['si_sdr_db']:+.1f} dB with its full "
+            "budget. Note the energy run also dropped the commit loss "
+            "(reference regime) and reports NO usable bitrate: its bottleneck "
+            "is continuous (indices are a placeholder), so it is not a codec "
+            "in the coded-transmission sense.",
+            "",
+        ]
+    lines += [
+        "4. bf16 compute: ~2-3x faster no-GAN steps than f32 at a small "
+        "per-step convergence penalty that does NOT close by 620 steps "
+        "(CONVERGE_r03.json) — at matched wall-clock bf16 still wins, which "
+        "is why the campaign ran bf16. Reference-scale GAN step in bf16: "
+        "19.96 s/step (19.2x training realtime) WITHOUT remat — bf16's "
+        "halved activations make rematerialization unnecessary at the "
+        "reference's batch 4 x accum 32 x 72000 config (REFSCALE_r03.json; "
+        "f32 needed remat and ran 23.65 s).",
+        "",
+        "5. One f32 run at round-2 weights diverged (loss 3.4 -> 1.6e7, "
+        "partial recovery) from a log-mel eps-gradient spike; the campaign "
+        "runs use the new grad_clip_norm=10 and stayed finite throughout.",
+    ]
     with open("QUALITY_r03.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote QUALITY_r03.md ({len(rows)} configs)")
