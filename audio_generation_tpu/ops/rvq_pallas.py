@@ -39,6 +39,14 @@ bound by the same f32 HIGHEST-precision distance/dequantize matmuls, i.e.
 XLA already compiles the scan to the fused optimum. The scan stays the
 default (it also serves the training path with codebook updates); the kernel
 remains as the validated fused alternative (`CausalVQAE(use_pallas_rvq=True)`).
+
+Round 3 also tried the remaining idea — bf16 first-pass distances + exact
+f32 re-rank of the top-k candidates (tools/rvq_2pass_experiment.py,
+RVQ2PASS_r03.json): indices agreed 100% at k>=4, but the 2-pass path is
+0.2-0.8x the scan's speed at N = 4800 and 38400 — `lax.top_k` (sort-based on
+TPU) plus the (N, k, D) candidate gather cost more than the ~6x matmul-rate
+saving. CONCLUSION: the f32-HIGHEST scan is the practical optimum for this
+codebook geometry; no further kernel work planned.
 """
 from __future__ import annotations
 
