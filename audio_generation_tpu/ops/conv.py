@@ -241,6 +241,77 @@ def unfold_time(x, f: int, channels: int):
     return x.reshape(b, lf * f, channels)
 
 
+def polyphase_dilated_conv1d(x, w, b=None, *, dilation: int, fold: int = 1):
+    """Exact causal stride-1 DILATED conv via polyphase-in-time decomposition.
+
+    y[t] = sum_j w[j] x[t - d*(k-1) + d*j] touches only samples with
+    t ≡ x-index (mod d), so with t = m*d + i the conv splits into d
+    independent d=1 causal convs over the subsequences x[:, i::d, :]
+    (identical pad law: (k-1) leading zeros per subsequence). The phase axis
+    moves into the batch dim (one real transpose each way), and each
+    subsequence then runs the lane-folded d=1 conv — folded-kernel FLOP
+    ratio k_f*f/k at d=1 (1.71x for k=7, f=4) instead of the dilated folded
+    ratio (8.57x at d=9, f=4; see tools/flop_audit.py).
+
+    x: (B, L, C) UNFOLDED layout, L % dilation == 0. `fold` is applied to
+    the subsequences when (L/dilation) % fold == 0. Returns (B, L, Cout).
+    Equality vs causal_conv1d / folded_causal_conv1d is tested on CPU f32
+    (tests/test_conv_ops.py)."""
+    d = dilation
+    if d == 1:
+        y = folded_causal_conv1d(fold_time(x, fold), w, b, fold=fold)
+        return unfold_time(y, fold, w.shape[2])
+    bsz, L, cin = x.shape
+    assert L % d == 0, f"length {L} not divisible by dilation {d}"
+    cout = w.shape[2]
+    xp = (
+        x.reshape(bsz, L // d, d, cin)
+        .transpose(0, 2, 1, 3)
+        .reshape(bsz * d, L // d, cin)
+    )
+    f = fold if (L // d) % fold == 0 else 1
+    y = folded_causal_conv1d(fold_time(xp, f), w, b, fold=f)
+    y = unfold_time(y, f, cout)
+    return (
+        y.reshape(bsz, d, L // d, cout)
+        .transpose(0, 2, 1, 3)
+        .reshape(bsz, L, cout)
+    )
+
+
+def aligned_dilated_conv1d(x, w, b=None, *, dilation: int):
+    """Exact causal stride-1 dilated conv in a DILATION-ALIGNED fold layout:
+    fold f = d. With t = u*d + r, tap j reads x[t - d*(k-1) + d*j] — the SAME
+    phase r, folded frame u - (k-1) + j. So in the fold_time(d) layout the
+    conv is a stride-1, dilation-1, k-tap GROUPED conv (feature_group_count
+    = d, every group sharing the weight): issued MACs == true MACs (no
+    folded-kernel blowup — cf. 8.57x for the dense folded kernel at d=9 f=4,
+    tools/flop_audit.py), lanes d*C wide, and the layout changes are pure
+    reshapes (fold_time law). Requires L % d == 0.
+
+    x: (B, L, C) unfolded; returns (B, L, Cout)."""
+    d = dilation
+    if d == 1:
+        return causal_conv1d(x, w, b)
+    bsz, L, cin = x.shape
+    assert L % d == 0, f"length {L} not divisible by dilation {d}"
+    k, _, cout = w.shape
+    xf = fold_time(x, d)
+    wg = jnp.tile(w, (1, 1, d)).astype(x.dtype)  # (k, C, d*Cout): one copy per group
+    y = jax.lax.conv_general_dilated(
+        xf,
+        wg,
+        window_strides=(1,),
+        padding=[(k - 1, 0)],
+        dimension_numbers=DIMENSION_NUMBERS,
+        feature_group_count=d,
+        precision=_precision_for(x),
+    )
+    if b is not None:
+        y = y + jnp.tile(b, d).astype(y.dtype)
+    return unfold_time(y, d, cout)
+
+
 def _fold_matrix(kernel_size: int, dilation: int, f: int):
     """Static 0/1 tensor M (k'', f_in_phase, f_out_phase, k) mapping the
     original causal kernel w (k, Cin, Cout) onto the folded kernel

@@ -216,6 +216,29 @@ class TestFoldedConv:
             )
             np.testing.assert_allclose(np.asarray(ref), np.asarray(out), atol=1e-5)
 
+    def test_polyphase_dilated_matches_plain(self, rng):
+        """polyphase_dilated_conv1d (phase-to-batch transpose + folded d=1
+        conv) equals the plain dilated causal conv to f32 rounding."""
+        from audio_generation_tpu.ops.conv import (
+            causal_conv1d, polyphase_dilated_conv1d,
+        )
+
+        for (L, cin, cout, k, d, f) in [
+            (72, 4, 4, 7, 9, 4), (72, 4, 6, 7, 3, 4), (90, 3, 3, 7, 9, 2),
+            (54, 5, 5, 7, 3, 2), (66, 2, 2, 5, 3, 1), (60, 4, 4, 7, 1, 4),
+            (63, 4, 4, 7, 9, 4),  # L/d=7 not divisible by f -> inner f=1
+        ]:
+            x = jnp.asarray(rng.normal(size=(2, L, cin)).astype(np.float32))
+            w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+            ref = causal_conv1d(x, w, b, dilation=d)
+            out = polyphase_dilated_conv1d(x, w, b, dilation=d, fold=f)
+            assert out.shape == ref.shape
+            np.testing.assert_allclose(
+                np.asarray(ref), np.asarray(out), atol=1e-5,
+                err_msg=f"L={L} d={d} f={f}",
+            )
+
     def test_model_forward_fold_invariant(self, rng):
         """CausalVQAE(lane_fold=True) ≈ (lane_fold=False): same params, same
         codes, tolerance-matched waveforms."""
