@@ -79,8 +79,21 @@ def animate_sound(
     try:
         anim.save(video_tmp)
     except Exception:
-        plt.close(fig)
-        return None
+        # no ffmpeg in this image: fall back to an animated GIF (Pillow
+        # writer) + the reconstruction wav saved alongside (GIF has no audio
+        # track to mux). Reference behavior (mp4 mux) kept when ffmpeg exists.
+        try:
+            fps = max(1.0 / max(time_per_frame, 1e-6), 1.0)
+            gif_path = os.path.splitext(out_path)[0] + ".gif"
+            anim.save(gif_path, writer=animation.PillowWriter(fps=min(fps, 30.0)))
+            plt.close(fig)
+            (recons, _, _), _ = model.apply(variables, sound, mutable=["codebook"])
+            wav_path = os.path.splitext(out_path)[0] + ".wav"
+            write_wav(wav_path, np.asarray(recons)[0], int(rate / slowdown))
+            return gif_path
+        except Exception:
+            plt.close(fig)
+            return None
     plt.close(fig)
 
     (recons, _, _), _ = model.apply(variables, sound, mutable=["codebook"])

@@ -117,6 +117,36 @@ def test_sound_to_codebooks(rng):
     assert grid.sum() > 0
 
 
+def test_animate_sound_gif_fallback(tmp_path, rng):
+    """Without ffmpeg, animate_sound writes an animated GIF + the
+    reconstruction wav alongside (reference: utils.py:261-296 muxes an mp4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from audio_generation_tpu.models import CausalVQAE
+    from audio_generation_tpu.utils.codebook_viz import animate_sound
+
+    model = CausalVQAE(
+        in_channels=1, n_blocks=2, n_layers_per_block=2,
+        first_block_channels=4, num_quantizers=2, codebook_size=16,
+        codebook_dim=8, strides=(2, 3), wavelet_decoders=(False, False),
+        input_format="n c l", use_som=True, som_kernel_type="hard",
+        vq_type="ema",
+    )
+    x = jnp.asarray(rng.normal(size=(1, 1, 60)).astype(np.float32))
+    variables = model.init(jax.random.key(0), x)
+    out = animate_sound(
+        x, model, variables, rate=60,
+        out_path=str(tmp_path / "anim.mp4"), tmp_dir=str(tmp_path),
+    )
+    assert out is not None
+    import shutil
+
+    if shutil.which("ffmpeg") is None:
+        assert out.endswith(".gif") and os.path.exists(out)
+        assert os.path.exists(str(tmp_path / "anim.wav"))
+
+
 def test_plot_waveform_and_save_samples(tmp_path, rng):
     import pytest
 
