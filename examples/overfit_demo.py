@@ -23,9 +23,18 @@ from audio_generation_tpu.utils.codebook_viz import animate_sound
 
 def main(n_steps: int = 50):
     sr = 16000
-    # an 'om'-like sustained harmonic tone, cropped to a stride multiple
-    # (the reference crops om.wav to 65280 = 480 * 136, vae.py:381)
-    clip = overtones(65280, freq=136.1, n_overtones=7, sample_rate=sr, peak=0.6)
+    om_path = "/root/reference/networks/om.wav"
+    try:
+        # the reference's actual demo input (float32 WAV; data/wavio reads
+        # it natively), cropped to 65280 = 480 * 136 like vae.py:381
+        from audio_generation_tpu.data.wavio import read_wav
+
+        wav, sr = read_wav(om_path)
+        clip = wav.mean(axis=0)[:65280]
+        print(f"using {om_path} ({len(clip) / sr:.2f} s @ {sr} Hz)")
+    except (OSError, ValueError):
+        # no om.wav around: an 'om'-like sustained harmonic tone
+        clip = overtones(65280, freq=136.1, n_overtones=7, sample_rate=sr, peak=0.6)
     x = jnp.asarray(clip.astype(np.float32))[None, None, :]
 
     model = CausalVQAE(
