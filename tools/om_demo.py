@@ -7,7 +7,9 @@ QUALITY_r03 campaign: load om.wav (float32 WAV via data/wavio), mono-mix,
 polyphase-resample 16k -> 24k (ops/signal.resample), encode+decode, and
 write the reconstruction + metrics to QUALITY_r03/.
 
-Usage: python tools/om_demo.py [config_name=rvq8_gan_hifi] [wav_path]
+Usage: python tools/om_demo.py [config_name=rvq8_gan_hifi] [wav_path] [--animate]
+  --animate also renders the codebook-usage animation (GIF without ffmpeg)
+  from the trained checkpoint (reference: utils.py:261-296 animate_sound).
 """
 from __future__ import annotations
 
@@ -24,8 +26,10 @@ SR = 24000
 
 
 def main():
-    name = sys.argv[1] if len(sys.argv) > 1 else "rvq8_gan_hifi"
-    wav_path = sys.argv[2] if len(sys.argv) > 2 else "/root/reference/networks/om.wav"
+    argv = [a for a in sys.argv[1:] if a != "--animate"]
+    animate = "--animate" in sys.argv[1:]
+    name = argv[0] if len(argv) > 0 else "rvq8_gan_hifi"
+    wav_path = argv[1] if len(argv) > 1 else "/root/reference/networks/om.wav"
 
     from tools.quality_r03 import CONFIGS  # same config/ckpt layout
 
@@ -75,6 +79,17 @@ def main():
     with open(os.path.join(OUT_DIR, f"{base}_demo_{name}.json"), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
+
+    if animate:
+        from audio_generation_tpu.utils.codebook_viz import animate_sound
+
+        x_model = trainer.steps._model_input(mono[None, :].astype(np.float32))
+        out = animate_sound(
+            x_model, trainer.model, trainer._variables(), rate=SR,
+            out_path=os.path.join(OUT_DIR, f"{base}_codebooks_{name}.mp4"),
+            tmp_dir=OUT_DIR,
+        )
+        print(f"codebook animation: {out}")
 
 
 if __name__ == "__main__":
