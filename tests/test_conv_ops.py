@@ -239,6 +239,25 @@ class TestFoldedConv:
                 err_msg=f"L={L} d={d} f={f}",
             )
 
+    def test_aligned_dilated_matches_plain(self, rng):
+        """aligned_dilated_conv1d (fold f=d, grouped conv) is BIT-exact vs
+        the plain dilated causal conv: same tap sums, reindexed."""
+        from audio_generation_tpu.ops.conv import (
+            aligned_dilated_conv1d, causal_conv1d,
+        )
+
+        for (L, cin, cout, k, d) in [
+            (72, 4, 4, 7, 9), (72, 4, 6, 7, 3), (90, 3, 5, 7, 9),
+            (54, 5, 5, 7, 3), (66, 2, 2, 5, 3), (60, 4, 4, 7, 1),
+        ]:
+            x = jnp.asarray(rng.normal(size=(2, L, cin)).astype(np.float32))
+            w = jnp.asarray(rng.normal(size=(k, cin, cout)).astype(np.float32))
+            b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+            ref = causal_conv1d(x, w, b, dilation=d)
+            out = aligned_dilated_conv1d(x, w, b, dilation=d)
+            assert out.shape == ref.shape
+            assert (np.asarray(ref) == np.asarray(out)).all(), f"L={L} d={d}"
+
     def test_model_forward_fold_invariant(self, rng):
         """CausalVQAE(lane_fold=True) ≈ (lane_fold=False): same params, same
         codes, tolerance-matched waveforms."""
