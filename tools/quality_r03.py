@@ -48,6 +48,11 @@ BASE_TRAINER = {
     "grad_clip_norm": 10.0,               # one unclipped run showed a 1e7x
     # log-mel gradient excursion (CONVERGE_r03.json f32_w10_raw0)
     "eval_every": 2,
+    "save_every": 1000,  # effectively: save only at each train() chunk end
+    # (trainer.train always saves at call end if steps advanced). Checkpoint
+    # saves device_get the FULL train state through the axon tunnel
+    # (~minutes each): at the default save_every=5 + 4-epoch chunks, saves
+    # ate ~5x the step time of the GAN campaign.
 }
 
 CONFIGS = {
@@ -72,7 +77,8 @@ CONFIGS = {
     },
 }
 
-EPOCHS_PER_CHUNK = 4  # ~31 steps/epoch; checkpoint + eval cadence
+EPOCHS_PER_CHUNK = 10  # ~31 steps/epoch; aligned with save_every so each
+# chunk ends exactly at a scheduled save (no extra end-of-train() save)
 
 
 def eval_batch(n=16, seed=1234):
