@@ -37,16 +37,31 @@ class MetricsWriter:
             return
         exists = os.path.exists(self.path)
         # rewrite whole file if the field set grew beyond the header on disk
+        # — ATOMICALLY (temp + rename): a kill mid-rewrite must not truncate
+        # the accumulated trajectory (it did, once — a resumed GAN campaign
+        # lost its first 1.1k steps of in-loop evals).
         if exists:
             with open(self.path, "r", newline="") as f:
                 reader = csv.DictReader(f)
                 old_fields = reader.fieldnames or []
-                if set(self._fields) - set(old_fields):
+                grew = bool(set(self._fields) - set(old_fields))
+                # ALWAYS adopt the on-disk column order (a resumed process
+                # starts with a fresh, possibly smaller/reordered field set;
+                # appending in its own order would misalign columns)
+                self._fields = list(old_fields) + [
+                    k for k in self._fields if k not in old_fields
+                ]
+                if grew:
                     rows = list(reader)
-                    with open(self.path, "w", newline="") as fw:
+                    tmp = self.path + ".tmp"
+                    with open(tmp, "w", newline="") as fw:
                         writer = csv.DictWriter(fw, fieldnames=self._fields, restval="")
                         writer.writeheader()
                         writer.writerows(rows)
+                        writer.writerows(self._rows_buffered)
+                    os.replace(tmp, self.path)
+                    self._rows_buffered.clear()
+                    return
         with open(self.path, "a", newline="") as f:
             writer = csv.DictWriter(f, fieldnames=self._fields, restval="")
             if not exists:

@@ -87,6 +87,36 @@ def test_metrics_writer(tmp_path):
     assert float(rows[1]["new_metric"]) == 3.0
 
 
+def test_metrics_writer_resume_append_alignment(tmp_path):
+    """A FRESH writer appending to an existing file (checkpoint resume) must
+    adopt the on-disk column order — its own field set starts smaller and
+    would otherwise misalign columns — and field growth must preserve all
+    prior rows."""
+    import csv
+
+    path = str(tmp_path / "m.csv")
+    w = MetricsWriter(path)
+    w.write(1, {"loss": 1.0, "aux": 7.0})
+    w.flush()
+
+    w2 = MetricsWriter(path)  # resumed process: fresh (smaller) field set
+    w2.write(2, {"aux": 8.0})
+    w2.flush()
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert float(rows[1]["aux"]) == 8.0 and rows[1]["loss"] == ""
+
+    w3 = MetricsWriter(path)  # resumed + grown fields: atomic rewrite
+    w3.write(3, {"loss": 0.1, "brand_new": 5.0})
+    w3.flush()
+    with open(path) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 3
+    assert float(rows[0]["loss"]) == 1.0  # prior rows preserved
+    assert float(rows[2]["brand_new"]) == 5.0
+    assert not os.path.exists(path + ".tmp")
+
+
 def test_sound_to_codebooks(rng):
     import jax
     import jax.numpy as jnp
