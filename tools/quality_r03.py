@@ -353,9 +353,9 @@ def write_markdown():
             "forwards + updates) plus one compile per sampled discriminator. "
             "On synthetic harmonic data the discriminator's perceptual "
             "advantage has little to bite on; the strong evidence is "
-            "stability + non-harm of adversarial training at a 4x longer "
-            "horizon than round 3's first GAN run (3,968 steps, kept in "
-            "rvq8_gan_hifi.step3968.json).",
+            f"stability + non-harm of adversarial training at a {gs / 3968:.1f}x "
+            "longer horizon than round 3's first GAN run (3,968 steps, kept "
+            "in rvq8_gan_hifi.step3968.json).",
             "",
         ]
     if "energy_hifi" in by and "rvq8_hifi" in by:
