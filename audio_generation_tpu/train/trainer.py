@@ -390,6 +390,11 @@ class Trainer:
         epochs = epochs if epochs is not None else self.run.epochs
         if losses is None:
             losses = []
+        if epochs == 0:
+            # pure no-op (used e.g. to swap a bottleneck without training);
+            # notably does NOT re-save at the resumed step, which Orbax
+            # would reject as a duplicate
+            return losses
         # epoch sizing is exact reference parity (training.py:426-430):
         # steps_per_epoch clamps the *item* count, and the mini-epoch count is
         # items // (mini_epoch_length * batch_size)
