@@ -195,6 +195,10 @@ def main():
     ap.add_argument("--hours-per-config", type=float, default=2.5)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run a config even if its final artifact exists "
+                    "(resumes from the run-dir checkpoint when present, so "
+                    "this is how a finished run gets EXTENDED)")
     ap.add_argument("names", nargs="*", default=None)
     args = ap.parse_args()
     if args.markdown:
@@ -204,7 +208,7 @@ def main():
     names = args.names or list(CONFIGS)
     for name in names:
         out = os.path.join(OUT_DIR, f"{name}.json")
-        if os.path.exists(out):
+        if os.path.exists(out) and not args.force:
             print(f"skip {name} (final artifact exists)")
             continue
         print(f"=== {name} ({args.hours_per_config} h) ===", flush=True)
