@@ -64,6 +64,43 @@ def mel_distance(reference, estimate, sample_rate: int, windows: Sequence[int] =
     return fn(jnp.asarray(reference), jnp.asarray(estimate))
 
 
+_STFT_CACHE: dict = {}
+
+
+def stft_distance(reference, estimate, windows: Sequence[int] = (512, 1024, 2048)):
+    """Multi-resolution STFT distances (Parallel WaveGAN / codec-paper
+    standard, complementary to the phase-structure-blind mel-L1):
+
+      spectral_convergence = || |S(x)| - |S(y)| ||_F / || |S(x)| ||_F
+      log_stft_l1          = mean | log|S(x)| - log|S(y)| |
+
+    averaged over the window bank (hop = window // 4). Returns a dict."""
+    key = tuple(windows)
+    fn = _STFT_CACHE.get(key)
+    if fn is None:
+        from audio_generation_tpu.ops.stft import stft_real_imag
+
+        @jax.jit
+        def fn(a_in, b_in):
+            sc = 0.0
+            lm = 0.0
+            for w in windows:
+                sa = stft_real_imag(a_in, w, w // 4, w)  # (..., T, F, 2)
+                sb = stft_real_imag(b_in, w, w // 4, w)
+                mag_a = jnp.sqrt(jnp.sum(sa**2, axis=-1) + 1e-12)
+                mag_b = jnp.sqrt(jnp.sum(sb**2, axis=-1) + 1e-12)
+                sc = sc + jnp.linalg.norm(mag_a - mag_b) / (
+                    jnp.linalg.norm(mag_a) + 1e-12
+                )
+                lm = lm + jnp.mean(jnp.abs(jnp.log(mag_a) - jnp.log(mag_b)))
+            n = float(len(windows))
+            return sc / n, lm / n
+
+        _STFT_CACHE[key] = fn
+    sc, lm = fn(jnp.asarray(reference), jnp.asarray(estimate))
+    return {"spectral_convergence": float(sc), "log_stft_l1": float(lm)}
+
+
 def codec_bitrate_bps(num_quantizers: int, codebook_size, sample_rate: int, stride: int) -> float:
     """Nominal coded bitrate (reference: bitrate math at utils.py:137-147)."""
     sizes = codebook_size if isinstance(codebook_size, (list, tuple)) else [codebook_size] * num_quantizers
@@ -105,6 +142,7 @@ def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebo
         "snr_db": float(jnp.mean(snr_db(x, y))),
         "si_sdr_db": float(jnp.mean(si_sdr_db(x, y))),
         "mel_l1": float(mel_distance(x, y, sample_rate)),
+        **stft_distance(x, y),
         "bitrate_bps": codec_bitrate_bps(
             model.num_quantizers, model.codebook_size, sample_rate, stride
         ),

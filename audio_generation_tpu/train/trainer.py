@@ -383,6 +383,8 @@ class Trainer:
             "eval_snr_db": m["snr_db"],
             "eval_si_sdr_db": m["si_sdr_db"],
             "eval_mel_l1": m["mel_l1"],
+            "eval_spectral_convergence": m["spectral_convergence"],
+            "eval_log_stft_l1": m["log_stft_l1"],
         }
 
     def train(self, epochs: Optional[int] = None, losses: Optional[list] = None):

@@ -9,6 +9,7 @@ from audio_generation_tpu.evaluate import (
     mel_distance,
     si_sdr_db,
     snr_db,
+    stft_distance,
 )
 
 
@@ -33,6 +34,21 @@ def test_mel_distance_zero_for_identical(rng):
     assert float(mel_distance(x, x, 24000, windows=[512])) == 0.0
     y = rng.normal(size=(1, 4096)).astype(np.float32)
     assert float(mel_distance(x, y, 24000, windows=[512])) > 0.1
+
+
+def test_stft_distance(rng):
+    x = rng.normal(size=(1, 4096)).astype(np.float32)
+    same = stft_distance(x, x, windows=(512,))
+    assert same["spectral_convergence"] < 1e-5
+    assert same["log_stft_l1"] < 1e-5
+    y = rng.normal(size=(1, 4096)).astype(np.float32)
+    diff = stft_distance(x, y, windows=(512,))
+    # independent noise: magnitudes differ substantially at every bin
+    assert diff["spectral_convergence"] > 0.1
+    assert diff["log_stft_l1"] > 0.1
+    # scaling the estimate moves log-magnitude by exactly |log s| on average
+    half = stft_distance(x, 0.5 * x, windows=(512,))
+    np.testing.assert_allclose(half["log_stft_l1"], np.log(2.0), rtol=1e-3)
 
 
 def test_bitrate():
@@ -61,6 +77,9 @@ def test_evaluate_codec(rng):
     variables = model.init(jax.random.key(0), x)
     waves = rng.normal(size=(2, 64)).astype(np.float32) * 0.1
     metrics = evaluate_codec(model, variables, waves, 24000)
-    assert set(metrics) == {"snr_db", "si_sdr_db", "mel_l1", "bitrate_bps", "latent_fps"}
+    assert set(metrics) == {
+        "snr_db", "si_sdr_db", "mel_l1", "spectral_convergence",
+        "log_stft_l1", "bitrate_bps", "latent_fps",
+    }
     assert metrics["latent_fps"] == 4000.0
     assert np.isfinite(metrics["snr_db"])
