@@ -436,12 +436,19 @@ class ResidualQuantizer:
 
     # ---- API parity helpers ------------------------------------------------
     def dequantize(self, state: QuantizerState, indices, level: Optional[int] = None):
-        """indices (B, L) for one level, or (B, L, nq) summed across levels
-        (reference: quantizers[i].dequantize at networks/vae.py:333)."""
+        """indices (B, L) for one level, or (B, L, n) summed across the first
+        n <= num_quantizers levels (reference: quantizers[i].dequantize at
+        networks/vae.py:333). Accepting n < num_quantizers decodes a
+        bitrate-truncated stream — RVQ levels are a residual cascade, so the
+        first-n sum is exactly the codebook_n-dropout reconstruction."""
         if level is not None:
             return state.codebooks[level][indices]
+        n = indices.shape[-1]
+        assert n <= self.num_quantizers, (
+            f"stream has {n} levels, quantizer only {self.num_quantizers}"
+        )
         out = 0.0
-        for q in range(self.num_quantizers):
+        for q in range(n):
             out = out + state.codebooks[q][indices[..., q]]
         return out
 

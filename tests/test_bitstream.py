@@ -1,0 +1,177 @@
+"""Packed .agc bitstream: bit-exact round trips, truncation, CLI helpers."""
+import io
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from audio_generation_tpu.bitstream import (
+    BitstreamMeta,
+    bits_for,
+    read_bitstream,
+    write_bitstream,
+)
+
+SIZES = (1024, 500, 32, 3)  # mixed power-of-2 / odd codebook sizes
+
+
+def test_bits_for():
+    assert bits_for(1024) == 10
+    assert bits_for(500) == 9
+    assert bits_for(512) == 9
+    assert bits_for(3) == 2
+    assert bits_for(2) == 1
+    assert bits_for(1) == 1
+
+
+def _random_indices(rng, T, sizes):
+    return np.stack(
+        [rng.integers(0, s, size=T).astype(np.int32) for s in sizes], axis=1
+    )
+
+
+def test_roundtrip_exact(rng):
+    T = 337  # deliberately not byte-aligned for any level
+    idx = _random_indices(rng, T, SIZES)
+    buf = io.BytesIO()
+    n = write_bitstream(buf, idx, SIZES, 24000, 480, original_length=161000)
+    got, meta = read_bitstream(buf.getvalue())
+    np.testing.assert_array_equal(got, idx)
+    assert meta.sample_rate == 24000
+    assert meta.stride == 480
+    assert meta.num_frames == T
+    assert meta.original_length == 161000
+    assert meta.codebook_sizes == SIZES
+    # file size = header + per-level ceil(T*bits/8)
+    expect = 32 + 4 * len(SIZES) + sum((T * bits_for(s) + 7) // 8 for s in SIZES)
+    assert n == len(buf.getvalue()) == expect
+
+
+def test_bitrate_math():
+    meta = BitstreamMeta(24000, 480, 150, 72000, (1024,) * 8)
+    assert meta.bits_per_frame == 80
+    assert meta.bitrate_bps == pytest.approx(4000.0)  # the flagship's 4 kbps
+    assert meta.duration_seconds == pytest.approx(3.0)
+
+
+def test_level_truncation_prefix(rng):
+    idx = _random_indices(rng, 64, SIZES)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, SIZES, 16000, 480, 30000)
+    got, meta = read_bitstream(buf.getvalue(), max_levels=2)
+    np.testing.assert_array_equal(got, idx[:, :2])
+    assert meta.codebook_sizes == SIZES[:2]
+    assert meta.bits_per_frame == bits_for(1024) + bits_for(500)
+
+
+def test_errors(rng):
+    idx = _random_indices(rng, 8, (16,))
+    with pytest.raises(ValueError, match="does not fit"):
+        write_bitstream(io.BytesIO(), idx + 16, (16,), 16000, 480, 100)
+    with pytest.raises(ValueError, match="magic"):
+        read_bitstream(b"NOPE" + b"\x00" * 60)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, (16,), 16000, 480, 100)
+    with pytest.raises(ValueError, match="truncated"):
+        read_bitstream(buf.getvalue()[:-2])
+    with pytest.raises(ValueError, match="too short"):
+        read_bitstream(b"AGC1")
+
+
+# --------------------------------------------------------------------------- #
+# End-to-end with a small codec (batch vs stream parity of the CLI helpers)
+# --------------------------------------------------------------------------- #
+SMALL = dict(
+    in_channels=1,
+    n_blocks=3,
+    n_layers_per_block=2,
+    first_block_channels=4,
+    num_quantizers=4,
+    codebook_size=32,
+    codebook_dim=16,
+    strides=(2, 3, 4),
+    wavelet_decoders=(False, True, False),
+    input_format="n c l",
+    use_som=False,
+    vq_type="ema",
+)
+
+
+@pytest.fixture(scope="module")
+def codec():
+    from audio_generation_tpu.models import CausalVQAE
+
+    model = CausalVQAE(**SMALL)
+    x = jnp.zeros((1, 1, 24 * 50))
+    variables = model.init(jax.random.key(0), x)
+    return model, variables
+
+
+def test_encode_decode_array_roundtrip(codec, rng):
+    from tools.codec_cli import decode_array, encode_array
+
+    model, variables = codec
+    L = 24 * 40 + 7  # not chunk- or stride-aligned
+    wave = (rng.normal(size=L) * 0.3).astype(np.float32)
+
+    idx, meta = encode_array(model, variables, wave, 24000, chunk_frames=10)
+    assert meta["original_length"] == L
+    assert meta["stride"] == 24
+    # pad law: frames cover L + latency, whole chunks
+    assert idx.shape[0] * 24 >= L
+    assert idx.shape[0] % 10 == 0
+
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, **meta)
+    got, m = read_bitstream(buf.getvalue())
+    np.testing.assert_array_equal(got, idx)
+
+    y = decode_array(model, variables, got, m.original_length, chunk_frames=10)
+    assert y.shape == (L,)
+    assert np.isfinite(y).all()
+
+
+def test_stream_equals_batch(codec, rng):
+    from tools.codec_cli import decode_array, encode_array
+
+    model, variables = codec
+    L = 24 * 60
+    wave = (rng.normal(size=L) * 0.3).astype(np.float32)
+
+    idx_b, meta = encode_array(model, variables, wave, 24000, chunk_frames=10)
+    idx_s, _ = encode_array(
+        model, variables, wave, 24000, chunk_frames=10, stream=True
+    )
+    # carried-state streaming encode is bit-exact vs batch
+    np.testing.assert_array_equal(idx_s, idx_b)
+
+    y_b = decode_array(model, variables, idx_b, L, chunk_frames=10)
+    y_s = decode_array(model, variables, idx_b, L, chunk_frames=10, stream=True)
+    # streamed decode = batch decode delayed by latency; after the trim both
+    # carry the same samples
+    np.testing.assert_allclose(y_s, y_b, atol=1e-4)
+
+
+def test_truncated_level_decode(codec, rng):
+    """Decoding a 2-of-4-level stream = dequantize over the first 2 levels
+    (the RVQ residual-cascade truncation law)."""
+    from tools.codec_cli import decode_array, encode_array
+
+    model, variables = codec
+    L = 24 * 30
+    wave = (rng.normal(size=L) * 0.3).astype(np.float32)
+    idx, meta = encode_array(
+        model, variables, wave, 24000, levels=2, chunk_frames=10
+    )
+    assert idx.shape[1] == 2
+    assert meta["codebook_sizes"] == [32, 32]
+
+    y = decode_array(model, variables, idx, L, chunk_frames=10)
+    assert y.shape == (L,)
+
+    # equals manual first-2-level dequantize + decode
+    state = variables["codebook"]["state"]
+    z = model.quantizer.dequantize(state, jnp.asarray(idx[None]))
+    y_ref = model.apply(variables, z, method="decode")[0, 0, : L]
+    np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-5)

@@ -1,0 +1,229 @@
+"""Codec CLI: compress audio to a packed .agc bitstream and back.
+
+The user-facing "product" surface the reference implies but never ships —
+its bitrate is only ever arithmetic (networks/utils.py:137-147). This tool
+makes the codec usable on files:
+
+    # compress (wav or flac in; levels <= num_quantizers trims bitrate)
+    python tools/codec_cli.py encode in.wav out.agc --yaml config/training.yml
+    # decompress
+    python tools/codec_cli.py decode out.agc recon.wav --yaml config/training.yml
+    # inspect a bitstream (no model needed)
+    python tools/codec_cli.py info out.agc
+
+Loads the newest checkpoint of the experiment named in the YAML (the
+reference's auto-resume discovery, networks/utils.py:201-210). `--stream`
+runs the carried-state streaming codec (bounded memory for long files,
+bit-exact encode); the default batch path is one jitted call. Both paths
+produce the SAME .agc bytes and the SAME reconstruction: encode pads the
+input so the padded length covers original_length + decoder latency, and
+decode trims the pad (and, in stream mode, the latency shift) back off.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+# ------------------------------------------------------------------------- #
+# Core helpers (pure model+variables API; the CLI wraps checkpoint loading)
+# ------------------------------------------------------------------------- #
+def _codec(model, variables, chunk_frames: int):
+    from audio_generation_tpu.streaming import StatefulStreamingCodec
+
+    return StatefulStreamingCodec(model, variables, chunk_frames=chunk_frames)
+
+
+def padded_length(L: int, latency: int, chunk: int) -> int:
+    """Encode pad law: cover L + decoder latency, aligned to whole chunks —
+    identical for the batch and streaming paths so the bitstreams match."""
+    return ((L + latency + chunk - 1) // chunk) * chunk
+
+
+def encode_array(
+    model,
+    variables,
+    wave: np.ndarray,
+    sample_rate: int,
+    levels: int | None = None,
+    chunk_frames: int = 50,
+    stream: bool = False,
+):
+    """wave (L,) float32 -> (packed_indices (T, n), meta kwargs dict)."""
+    import jax
+
+    codec = _codec(model, variables, chunk_frames)
+    L = int(wave.shape[-1])
+    padded = np.zeros(
+        padded_length(L, codec.latency_samples, codec.chunk), np.float32
+    )
+    padded[:L] = wave
+    if stream:
+        idx = codec.encode_stream(padded[None, :])[0]
+    else:
+        x = padded[None, :, None] if model.input_format == "b l c" else padded[None, None, :]
+        (_zq, _commit, idx), _ = jax.jit(
+            lambda v, x: model.apply(v, x, method="encode", mutable=["codebook"])
+        )(variables, x)
+        idx = np.asarray(idx[0])
+    n = idx.shape[-1] if levels is None else min(levels, idx.shape[-1])
+    meta = dict(
+        codebook_sizes=list(model.quantizer.codebook_sizes)[:n],
+        sample_rate=sample_rate,
+        stride=codec.stride,
+        original_length=L,
+    )
+    return idx[:, :n], meta
+
+
+def decode_array(
+    model,
+    variables,
+    indices: np.ndarray,
+    original_length: int,
+    chunk_frames: int = 50,
+    stream: bool = False,
+) -> np.ndarray:
+    """indices (T, n<=nq) -> waveform (original_length,) float32."""
+    import jax
+
+    if stream:
+        codec = _codec(model, variables, chunk_frames)
+        y = codec.decode_stream(indices[None])[0]
+        y = y[codec.latency_samples :]  # carried-state emission delay
+    else:
+        y = np.asarray(
+            jax.jit(lambda v, i: model.apply(v, i, method="decode_indices"))(
+                variables, indices[None]
+            )
+        )
+        y = y[0, :, 0] if model.input_format == "b l c" else y[0, 0, :]
+    assert y.shape[0] >= original_length, "bitstream shorter than original_length"
+    return np.asarray(y[:original_length], np.float32)
+
+
+# ------------------------------------------------------------------------- #
+# CLI plumbing
+# ------------------------------------------------------------------------- #
+def _load_trained(yaml_path: str):
+    """Newest-checkpoint model from a training YAML (auto-resume semantics)."""
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.train.trainer import Trainer
+
+    cfg = ExperimentConfig.from_yaml(yaml_path)
+    cfg.scratch_train = False
+    trainer = Trainer(cfg)
+    step = int(trainer.state.step)
+    if step == 0:
+        print("warning: no checkpoint found — encoding with INITIAL weights")
+    else:
+        print(f"loaded {cfg.experiment_name} at step {step}")
+    return trainer.model, trainer._variables(), cfg.sample_rate
+
+
+def _read_input(path: str, target_sr: int) -> np.ndarray:
+    from audio_generation_tpu.data.flacio import read_audio
+    from audio_generation_tpu.ops.signal import resample
+
+    x, sr = read_audio(path)
+    mono = x.mean(axis=0) if x.ndim == 2 else x
+    if sr != target_sr:
+        print(f"resampling {sr} -> {target_sr} Hz")
+        mono = np.asarray(resample(mono, sr, target_sr), np.float32)
+    return mono.astype(np.float32)
+
+
+def cmd_encode(args):
+    from audio_generation_tpu.bitstream import write_bitstream
+
+    model, variables, sr = _load_trained(args.yaml)
+    wave = _read_input(args.input, sr)
+    idx, meta = encode_array(
+        model, variables, wave, sr,
+        levels=args.levels, chunk_frames=args.chunk_frames, stream=args.stream,
+    )
+    nbytes = write_bitstream(args.output, idx, **meta)
+    secs = meta["original_length"] / sr
+    print(
+        f"{args.output}: {nbytes} bytes for {secs:.2f} s "
+        f"({8 * nbytes / secs:.0f} bps incl. header; "
+        f"{idx.shape[1]} levels x {idx.shape[0]} frames)"
+    )
+
+
+def cmd_decode(args):
+    from audio_generation_tpu.bitstream import read_bitstream
+    from audio_generation_tpu.data.wavio import write_wav
+
+    idx, meta = read_bitstream(args.input, max_levels=args.levels)
+    model, variables, sr = _load_trained(args.yaml)
+    if sr != meta.sample_rate:
+        print(
+            f"warning: model rate {sr} != bitstream rate {meta.sample_rate}; "
+            "decoding at the model rate"
+        )
+    y = decode_array(
+        model, variables, idx, meta.original_length,
+        chunk_frames=args.chunk_frames, stream=args.stream,
+    )
+    write_wav(args.output, y, meta.sample_rate)
+    print(
+        f"{args.output}: {meta.duration_seconds:.2f} s decoded from "
+        f"{meta.num_levels} levels @ {meta.bitrate_bps:.0f} bps"
+    )
+
+
+def cmd_info(args):
+    from audio_generation_tpu.bitstream import read_bitstream
+
+    _idx, meta = read_bitstream(args.input)
+    payload_bits = meta.bits_per_frame * meta.num_frames
+    print(f"{args.input}:")
+    print(f"  sample_rate      {meta.sample_rate} Hz")
+    print(f"  stride           {meta.stride} samples/frame "
+          f"({meta.sample_rate / meta.stride:.1f} fps)")
+    print(f"  frames           {meta.num_frames}")
+    print(f"  duration         {meta.duration_seconds:.3f} s")
+    print(f"  levels           {meta.num_levels} "
+          f"(codebooks {list(meta.codebook_sizes)})")
+    print(f"  bits/frame       {meta.bits_per_frame}")
+    print(f"  bitrate          {meta.bitrate_bps:.0f} bps "
+          f"(payload {payload_bits // 8} bytes)")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, model=True):
+        if model:
+            sp.add_argument("--yaml", default="config/training.yml",
+                            help="training YAML naming the experiment/checkpoint")
+            sp.add_argument("--levels", type=int, default=None,
+                            help="use only the first N RVQ levels (lower bitrate)")
+            sp.add_argument("--stream", action="store_true",
+                            help="carried-state streaming (bounded memory)")
+            sp.add_argument("--chunk-frames", type=int, default=50)
+
+    e = sub.add_parser("encode", help="audio file -> .agc bitstream")
+    e.add_argument("input"); e.add_argument("output")
+    common(e); e.set_defaults(fn=cmd_encode)
+
+    d = sub.add_parser("decode", help=".agc bitstream -> wav")
+    d.add_argument("input"); d.add_argument("output")
+    common(d); d.set_defaults(fn=cmd_decode)
+
+    i = sub.add_parser("info", help="print bitstream header")
+    i.add_argument("input"); i.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

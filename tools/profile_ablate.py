@@ -8,8 +8,11 @@ Usage: python tools/profile_ablate.py [batch] [iters] [repeats]
 """
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
