@@ -256,7 +256,13 @@ def write_markdown():
         print("no results yet")
         return
 
+    by_name = {r["config"]: r for r in rows}
+
     def traj(name):
+        """In-loop eval trajectory from metrics.csv — ONLY when the csv
+        covers the run the final artifact describes. A freshly (re)started
+        run's csv would otherwise shadow the committed full-run trajectory
+        (and corrupt the matched-step anchors) while it is still early."""
         p = os.path.join(OUT_DIR, "runs", name, "metrics.csv")
         if not os.path.exists(p):
             return []
@@ -265,6 +271,9 @@ def write_markdown():
             if r.get("eval_si_sdr_db"):
                 out.append((int(r["step"]), float(r["eval_si_sdr_db"]),
                             float(r["eval_snr_db"]), float(r["eval_mel_l1"])))
+        expect = by_name.get(name, {}).get("steps")
+        if out and expect and out[-1][0] < 0.8 * expect:
+            return []
         return out
 
     def traj_line(name):
