@@ -97,17 +97,24 @@ def read_flac(path: str) -> tuple[np.ndarray, int]:
                         ctypes.byref(bits), ctypes.byref(total))
     if rc != 0:
         raise ValueError(f"{path}: not a decodable FLAC stream (rc={rc})")
-    # STREAMINFO total may legally be 0 (unknown); fall back to a bound from
-    # the compressed size (flac never expands 16-bit audio by 2x)
-    max_frames = total.value if total.value > 0 else (len(data) * 2) // max(ch.value, 1) + 65536
-    out = np.empty((max_frames, ch.value), dtype=np.int32)
-    n = lib.flac_decode(
-        data, len(data),
-        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_frames,
-        ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bits),
-    )
-    if n < 0:
-        raise ValueError(f"{path}: FLAC decode failed (rc={n})")
+    # STREAMINFO total may legally be 0 (unknown); start from a bound on the
+    # compressed size and GROW if the decoder fills it (CONSTANT subframes —
+    # e.g. silence — can compress far beyond the 4x this guesses, and
+    # flac_decode clamps at the bound rather than erroring)
+    known = total.value > 0
+    max_frames = total.value if known else (len(data) * 2) // max(ch.value, 1) + 65536
+    while True:
+        out = np.empty((max_frames, ch.value), dtype=np.int32)
+        n = lib.flac_decode(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_frames,
+            ctypes.byref(ch), ctypes.byref(sr), ctypes.byref(bits),
+        )
+        if n < 0:
+            raise ValueError(f"{path}: FLAC decode failed (rc={n})")
+        if known or n < max_frames:
+            break
+        max_frames *= 4  # bound was hit: possibly truncated — retry bigger
     scale = float(1 << (bits.value - 1))
     return (out[: int(n)].T.astype(np.float32) / scale), sr.value
 

@@ -272,11 +272,14 @@ class _UpsampleConvOp(_Op):
         self.upsample = stride
 
     def init_state(self, batch):
+        if self.carry_len == 0:  # kp == 1 (kernel <= stride): stateless
+            return ()
         return jnp.zeros((batch, self.carry_len, self.cin), jnp.float32)
 
     def step(self, state, x):
-        x = jnp.concatenate([state, x], axis=1)
-        state = x[:, -self.carry_len :]
+        if self.carry_len > 0:  # guard: x[:, -0:] would keep the WHOLE chunk
+            x = jnp.concatenate([state, x], axis=1)
+            state = x[:, -self.carry_len :]
         y = jax.lax.conv_general_dilated(
             x, self.wp, window_strides=(1,), padding="VALID",
             dimension_numbers=("NWC", "WIO", "NWC"),

@@ -151,7 +151,10 @@ class Trainer:
         # (excluded from the training permutation in _data_iterator) so every
         # run logs SNR/SI-SDR/mel trajectories to metrics.csv for free
         self.n_eval = 0
-        if cfg.eval_every is not None and len(self.dataset) >= 4 * cfg.eval_items:
+        # truthiness on purpose: eval_every in (None, 0) disables in-loop eval
+        # AND must not hold items out of training (the eval-time guard below
+        # is also truthiness — keep them consistent)
+        if cfg.eval_every and len(self.dataset) >= 4 * cfg.eval_items:
             self.n_eval = int(cfg.eval_items)
         self._eval_waves_cache = None
 

@@ -153,6 +153,29 @@ def test_stream_equals_batch(codec, rng):
     np.testing.assert_allclose(y_s, y_b, atol=1e-4)
 
 
+def test_bf16_model_streams_match_batch(codec, rng):
+    """A bfloat16-trained checkpoint must still produce byte-identical
+    batch/stream bitstreams: the CLI coerces file coding to the f32 path
+    (tools/codec_cli._f32 — bf16 rounding is fusion-dependent, and the
+    carried-state streaming codec is f32 by construction)."""
+    from tools.codec_cli import encode_array
+
+    model, variables = codec
+    bf16 = model.clone(compute_dtype=jnp.bfloat16)
+    L = 24 * 60
+    wave = (rng.normal(size=L) * 0.3).astype(np.float32)
+
+    idx_b, _ = encode_array(bf16, variables, wave, 24000, chunk_frames=10)
+    idx_s, _ = encode_array(
+        bf16, variables, wave, 24000, chunk_frames=10, stream=True
+    )
+    np.testing.assert_array_equal(idx_s, idx_b)
+
+    # and the coerced path is the f32 path: same indices as the f32 model
+    idx_f, _ = encode_array(model, variables, wave, 24000, chunk_frames=10)
+    np.testing.assert_array_equal(idx_b, idx_f)
+
+
 def test_truncated_level_decode(codec, rng):
     """Decoding a 2-of-4-level stream = dequantize over the first 2 levels
     (the RVQ residual-cascade truncation law)."""

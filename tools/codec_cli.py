@@ -18,6 +18,9 @@ bit-exact encode); the default batch path is one jitted call. Both paths
 produce the SAME .agc bytes and the SAME reconstruction: encode pads the
 input so the padded length covers original_length + decoder latency, and
 decode trims the pad (and, in stream mode, the latency shift) back off.
+File coding always runs the f32 compute path even for bfloat16-trained
+checkpoints (see _f32): bitstream indices must be platform-stable and
+batch/stream-identical, and bf16 rounding is fusion-dependent.
 """
 from __future__ import annotations
 
@@ -33,6 +36,19 @@ import numpy as np
 # ------------------------------------------------------------------------- #
 # Core helpers (pure model+variables API; the CLI wraps checkpoint loading)
 # ------------------------------------------------------------------------- #
+def _f32(model):
+    """File coding always runs the f32 compute path: indices must be
+    platform-stable and identical between the batch and streaming encoders
+    (the streaming codec is f32 by construction; a bfloat16 batch encode
+    would round differently per fusion choice). bf16 is a training /
+    bulk-throughput dtype, not a bitstream-determinism dtype."""
+    import jax.numpy as jnp
+
+    if model.compute_dtype == jnp.float32:
+        return model
+    return model.clone(compute_dtype=jnp.float32)
+
+
 def _codec(model, variables, chunk_frames: int):
     from audio_generation_tpu.streaming import StatefulStreamingCodec
 
@@ -57,6 +73,7 @@ def encode_array(
     """wave (L,) float32 -> (packed_indices (T, n), meta kwargs dict)."""
     import jax
 
+    model = _f32(model)
     codec = _codec(model, variables, chunk_frames)
     L = int(wave.shape[-1])
     padded = np.zeros(
@@ -92,6 +109,7 @@ def decode_array(
     """indices (T, n<=nq) -> waveform (original_length,) float32."""
     import jax
 
+    model = _f32(model)
     if stream:
         codec = _codec(model, variables, chunk_frames)
         y = codec.decode_stream(indices[None])[0]
@@ -171,7 +189,9 @@ def cmd_decode(args):
         model, variables, idx, meta.original_length,
         chunk_frames=args.chunk_frames, stream=args.stream,
     )
-    write_wav(args.output, y, meta.sample_rate)
+    # the decoder produces samples on the MODEL's timeline — stamp the wav
+    # at the model rate (== bitstream rate unless the warning above fired)
+    write_wav(args.output, y, sr)
     print(
         f"{args.output}: {meta.duration_seconds:.2f} s decoded from "
         f"{meta.num_levels} levels @ {meta.bitrate_bps:.0f} bps"

@@ -74,11 +74,16 @@ def seed_transplant(dtype: str, smoke: bool) -> int:
     from quality_r03 import CONFIGS, OUT_DIR
 
     root = "/tmp/ganft_smoke" if smoke else os.path.join(OUT_DIR, "runs")
+    seed_meta = os.path.join(root, NAME, "seed.json")
     if os.path.isdir(os.path.join(root, NAME, "checkpoints")) and any(
         os.scandir(os.path.join(root, NAME, "checkpoints"))
     ):
-        print(f"[ganft] {NAME} checkpoint exists — resuming, no transplant")
-        return 0
+        donor_step = 0
+        if os.path.exists(seed_meta):
+            donor_step = json.load(open(seed_meta)).get("donor_step", 0)
+        print(f"[ganft] {NAME} checkpoint exists — resuming, no transplant "
+              f"(seeded from {DONOR} step {donor_step})")
+        return donor_step
 
     donor = _trainer(DONOR, CONFIGS[DONOR], dtype, smoke)
     donor_step = int(donor.state.step)
@@ -96,6 +101,8 @@ def seed_transplant(dtype: str, smoke: bool) -> int:
     ft.state = ft.state.replace(params=donor_params, codebook=donor_codebook)
     ft.save_state()
     ft.ckpt.close()
+    with open(seed_meta, "w") as f:
+        json.dump({"donor": DONOR, "donor_step": donor_step}, f)
     print(f"[ganft] seeded {NAME} at step 0 from {DONOR} step {donor_step}")
     return donor_step
 

@@ -82,15 +82,16 @@ def run_mode(one_sampled: bool, n_mini_epochs: int, dtype: str, waves):
     for mi in range(n_mini_epochs):
         step0 = int(trainer.state.step)
         t0 = time.time()
-        try:
-            trainer.mini_epoch(data_iter)
-        except StopIteration:
+        # mini_epoch never raises StopIteration (it uses next(it, None) and
+        # just stops); an exhausted iterator shows up as 0 steps advanced —
+        # refresh and RETRY the same mini-epoch
+        trainer.mini_epoch(data_iter)
+        if int(trainer.state.step) == step0:
             data_iter = trainer._data_iterator(shuffle=True)
             trainer.mini_epoch(data_iter)
         wall = time.time() - t0
         steps = int(trainer.state.step) - step0
-        if steps == 0:  # iterator exhausted mid-call: refresh and redo
-            data_iter = trainer._data_iterator(shuffle=True)
+        if steps == 0:
             continue
         # Trainer doesn't expose the sampled tuple; infer compile calls from
         # the step-fn cache size growing during this mini-epoch instead.

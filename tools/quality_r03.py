@@ -142,10 +142,13 @@ def run_config(name: str, hours: float, dtype: str):
     if trainer.model.bottleneck == "rvq":
         import jax
 
-        sample = trainer.model.apply(
-            trainer._variables(), jax.random.key(0), 225, method="sample",
-            mutable=["codebook"],
-        )[0]
+        # jitted: an eager 225-frame decode dispatches per-op through the
+        # axon tunnel (CLAUDE.md: always jit eval forwards)
+        sample = jax.jit(
+            lambda v, k: trainer.model.apply(
+                v, k, 225, method="sample", mutable=["codebook"]
+            )
+        )(trainer._variables(), jax.random.key(0))[0]
         s = np.asarray(sample)
         if s.ndim == 3:  # (B, L, 1) for "b l c", (B, 1, L) for "n c l"
             s = s[0, :, 0] if trainer.model.input_format == "b l c" else s[0, 0, :]

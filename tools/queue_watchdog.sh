@@ -3,17 +3,19 @@
 #
 # A wedged remote compile looks like: the phase process exists but its CPU
 # time is FROZEN for >50 min (the blocked compile RPC never returns, so
-# in-script deadlines cannot fire). Recovery = kill the exact pinned PIDs
-# (never pkill by pattern) and relaunch the queue script — every phase
-# resumes from checkpoints, and the persistent XLA cache makes redone
-# compiles cheap.
+# in-script deadlines cannot fire). Recovery = kill the queue script FIRST
+# (so its `wait` cannot advance to the next phase and overlap a TPU compile
+# with the relaunch), then the exact pinned phase process group (never
+# patterns), then relaunch the queue — every phase resumes from checkpoints,
+# and the persistent XLA cache makes redone compiles cheap.
 #
 # Also relaunches if the queue process dies without writing its done-marker
 # (e.g. the probe aborted while the tunnel hiccuped). Bounded: max 4
-# relaunches, 30-min cooldown between them.
+# relaunches per watchdog process, 30-min cooldown between them.
 #
 # Usage: tools/queue_watchdog.sh <queue_script> <done_marker_log> [relaunch_args...]
 #   e.g. tools/queue_watchdog.sh tools/r03d_queue.sh /tmp/r03d_queue.log 2.0 1.5
+# The launcher must write the queue script's PID to /tmp/r03d_queue.pid.
 set -u
 cd "$(dirname "$0")/.."
 
@@ -24,6 +26,8 @@ WLOG=/tmp/queue_watchdog.log
 FREEZE_S=$((50 * 60))
 COOLDOWN_S=$((30 * 60))
 MAX_RELAUNCH=4
+RELAUNCH_N=0   # in-process counter: the budget is per watchdog run, not
+               # per shared log file (old campaigns must not exhaust it)
 
 log() { echo "[watchdog $(date +%H:%M:%S)] $*" >> "$WLOG"; }
 
@@ -39,13 +43,18 @@ cpu_s() {  # total CPU seconds of a PID ([DD-]HH:MM:SS or MM:SS)
     else echo $((d*86400 + $1*60 + $2)); fi
 }
 
+queue_pid() {  # newest recorded queue-script PID
+    cat /tmp/r03_queue_relaunch.pid 2>/dev/null \
+        || cat /tmp/r03d_queue.pid 2>/dev/null || true
+}
+
 relaunch() {
-    local n
-    n=$(grep -c RELAUNCH "$WLOG" 2>/dev/null); n=${n:-0}
-    if [ "$n" -ge "$MAX_RELAUNCH" ]; then
-        log "relaunch budget exhausted ($n) — stopping watchdog"; exit 1
+    if [ "$RELAUNCH_N" -ge "$MAX_RELAUNCH" ]; then
+        log "relaunch budget exhausted ($RELAUNCH_N) — stopping watchdog"
+        exit 1
     fi
-    log "RELAUNCH #$((n+1)): $QUEUE ${RELAUNCH_ARGS[*]}"
+    RELAUNCH_N=$((RELAUNCH_N + 1))
+    log "RELAUNCH #$RELAUNCH_N: $QUEUE ${RELAUNCH_ARGS[*]}"
     setsid nohup "$QUEUE" "${RELAUNCH_ARGS[@]}" > "$DONE_LOG" 2>&1 &
     echo $! > /tmp/r03_queue_relaunch.pid
     sleep "$COOLDOWN_S"
@@ -59,11 +68,10 @@ while true; do
         log "queue done — exiting"; exit 0
     fi
     PID=$(cat /tmp/gan_run.pid 2>/dev/null || true)
-    QPID=$(cat /tmp/r03_queue_relaunch.pid 2>/dev/null \
-        || cat /tmp/r03d_queue.pid 2>/dev/null || true)
+    QPID=$(queue_pid)
     if [ -z "$PID" ] || ! kill -0 "$PID" 2>/dev/null; then
-        # phase process gone: normal between phases — only act if the whole
-        # queue script is gone too
+        # phase process gone: normal between phases and during the queue's
+        # short foreground steps — only act if the queue script is gone too
         if [ -z "$QPID" ] || ! kill -0 "$QPID" 2>/dev/null; then
             log "queue process gone without done-marker"
             relaunch
@@ -73,17 +81,21 @@ while true; do
     fi
     NOW=$(date +%s)
     CPU=$(cpu_s "$PID") || continue
-    read -r OLD_PID OLD_CPU OLD_TS < "$STATE" 2>/dev/null || OLD_PID=""
+    OLD_PID=""
+    [ -f "$STATE" ] && read -r OLD_PID OLD_CPU OLD_TS < "$STATE"
     if [ "$OLD_PID" != "$PID" ] || [ "${OLD_CPU:-}" != "$CPU" ]; then
         echo "$PID $CPU $NOW" > "$STATE"
         continue
     fi
     if [ $((NOW - OLD_TS)) -gt "$FREEZE_S" ]; then
         log "WEDGE: pid $PID CPU frozen at ${CPU}s for $((NOW - OLD_TS))s — killing"
-        # timeout(1) runs in its own process group with its python child —
-        # kill that exact group (never patterns), then the queue script
-        kill -9 -- "-$PID" 2>/dev/null || kill -9 "$PID" 2>/dev/null
+        # Order matters: the queue script first (it is blocked in `wait`;
+        # killing it prevents it from spawning the NEXT phase the moment the
+        # wedged phase dies), THEN the phase's process group (timeout(1)
+        # runs in its own group with its python child).
         [ -n "$QPID" ] && kill -9 "$QPID" 2>/dev/null
+        sleep 1
+        kill -9 -- "-$PID" 2>/dev/null || kill -9 "$PID" 2>/dev/null
         sleep 10
         relaunch
     fi

@@ -123,9 +123,13 @@ def main():
     data_iter = trainer._data_iterator(shuffle=True)
     for ep in range(args.epochs):
         te = time.time()
-        try:
-            trainer.mini_epoch(data_iter)
-        except StopIteration:
+        # mini_epoch never raises StopIteration (next(it, None) + break); an
+        # exhausted iterator = 0 steps advanced — refresh and retry, so every
+        # recorded recovery point reflects real training (the first SWAP_r03
+        # run recorded flat duplicate points 2-4 from exactly this)
+        ep_step0 = int(trainer.state.step)
+        trainer.mini_epoch(data_iter)
+        if int(trainer.state.step) == ep_step0:
             data_iter = trainer._data_iterator(shuffle=True)
             trainer.mini_epoch(data_iter)
         m = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
