@@ -1,4 +1,6 @@
-"""FLAC file reading via the native decoder (native/flac_decoder.cpp).
+"""FLAC file reading via the native decoder
+(audio_generation_tpu/native/flac_decoder.cpp — shipped inside the package
+so installed copies work too).
 
 The reference ingests LibriSpeech as distributed — .flac — through
 torchaudio's native backend (reference: networks/utils.py:224-226). Here the
@@ -20,7 +22,7 @@ _LOCK = threading.Lock()
 _LIB = None
 
 _SRC = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "native",
     "flac_decoder.cpp",
 )
