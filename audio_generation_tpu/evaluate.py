@@ -41,6 +41,13 @@ def si_sdr_db(reference, estimate, eps: float = 1e-12):
     return 10.0 * jnp.log10(ratio + eps)
 
 
+# jitted: ~15 eager device ops per eval call otherwise (each one a remote
+# tunnel round-trip on TPU — keep every eval/metric path jitted)
+@jax.jit
+def _wave_metrics(x, y):
+    return jnp.mean(snr_db(x, y)), jnp.mean(si_sdr_db(x, y))
+
+
 _MEL_CACHE: dict = {}
 
 
@@ -138,9 +145,10 @@ def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebo
     inp = x[:, :, None] if model.input_format == "b l c" else x[:, None, :]
     y, indices = _jitted_eval_forward(model)(variables, inp, codebook_n)
     y = y[:, :, 0] if model.input_format == "b l c" else y[:, 0, :]
+    snr, sisdr = _wave_metrics(x, y)
     return {
-        "snr_db": float(jnp.mean(snr_db(x, y))),
-        "si_sdr_db": float(jnp.mean(si_sdr_db(x, y))),
+        "snr_db": float(snr),
+        "si_sdr_db": float(sisdr),
         "mel_l1": float(mel_distance(x, y, sample_rate)),
         **stft_distance(x, y),
         "bitrate_bps": codec_bitrate_bps(

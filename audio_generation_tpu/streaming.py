@@ -427,6 +427,13 @@ class StatefulStreamingCodec:
     `latency_samples` (the decoder's exact algorithmic lookahead — the
     upsample convs see up to 1 future frame each, networks/vae.py:77-83, and
     the wavelet path 1 frame + (k-1)//2 samples, networks/wavelets.py:191-231).
+
+    Dtype contract: this codec computes in f32/Precision.HIGHEST by
+    construction, so the bit-identity above holds against the f32 batch path
+    (model.compute_dtype = float32). A bfloat16-configured model's batch
+    encode rounds differently (fusion-dependent) and may flip indices near
+    codebook decision boundaries — for file coding, tools/codec_cli coerces
+    BOTH paths to f32 (see tools/codec_cli._f32).
     """
 
     model: object

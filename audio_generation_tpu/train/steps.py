@@ -232,7 +232,11 @@ class StepBuilder:
             rng, sub = jax.random.split(state.rng)
             accum = batch.shape[0]
             rngs = jax.random.split(sub, accum)
-            micro_ids = jnp.arange(accum)
+            # GLOBAL micro-step counter (reference: training.py:305-308 keeps
+            # a running counter): step*accum elapsed micro-batches before this
+            # call. A within-step arange would make micro-batch 0 update every
+            # optimizer step and silently cap the period at `accum`.
+            micro_ids = state.step.astype(jnp.int32) * accum + jnp.arange(accum)
             update_flags = (micro_ids % cfg.codebook_update_step) == 0
 
             d_params_list = tuple(state.discriminators[di].params for di in active)

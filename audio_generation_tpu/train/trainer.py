@@ -94,7 +94,12 @@ class Trainer:
         stride = self.model.scale_factor
         self.crop_size = max(stride, (self.crop_size // stride) * stride)
 
-        self.gan = config.use_discriminator
+        # adversarial training needs BOTH the top-level use_discriminator and
+        # the per-run gan_loss toggle (reference: train(gan_loss=...) gates
+        # the adversarial objective per run, networks/training.py:416-424;
+        # previously gan_loss was validated but never read, so a
+        # gan_loss: false run still built + trained all 6 discriminators)
+        self.gan = config.use_discriminator and config.run.gan_loss
         if self.gan:
             if discriminators is not None:
                 self.discriminators, self.disc_names = discriminators
@@ -103,7 +108,9 @@ class Trainer:
                     small=(config.discriminator_bank == "small")
                 )
             nq = config.vae.num_quantizers
-            nq_per_d = max(nq // (len(self.discriminators) - 1), 1)
+            # max(..., 1) also covers an injected single-discriminator bank
+            # (len - 1 == 0 would ZeroDivisionError)
+            nq_per_d = max(nq // max(len(self.discriminators) - 1, 1), 1)
             # codebook_options ties bitrate to the chosen discriminator
             # (reference: training.py:196-199)
             self.codebook_options = (
@@ -115,8 +122,11 @@ class Trainer:
             self.discriminators, self.disc_names = [], []
             self.codebook_options = [config.vae.num_quantizers]
 
+        # cfg.model_lr is the per-trainer LR knob; config.from_dict aliases
+        # the top-level `lr` into it when trainer_args.model_lr is unset
+        # (reference: Trainer(model_lr=...), networks/training.py:120)
         self.gen_tx = generator_optimizer(
-            config.lr, config.scheduler_warmup, config.scheduler_total_iter,
+            cfg.model_lr, config.scheduler_warmup, config.scheduler_total_iter,
             clip_norm=cfg.grad_clip_norm,
         )
         self.disc_tx = discriminator_optimizer(
@@ -342,6 +352,8 @@ class Trainer:
             if losses is not None:
                 losses.append(total)
             for name, value in metrics.items():
+                if name == "grad_norm":  # diagnostic, not a loss — it would
+                    continue             # inflate the breakdown percentages
                 group = "discriminator" if name.endswith("_loss") and "_g_loss" not in name and name.split("_loss")[0] in self.disc_names else "generator"
                 self.update_loss_breakdown(float(value), name, group)
 
@@ -472,6 +484,10 @@ class Trainer:
         return self.model.quantizer.get_stale_clusters(self.state.codebook["state"])
 
     def save_state(self):
+        # idempotent per step: Orbax rejects a duplicate save at an existing
+        # step (zero-step epochs and resume-then-save could otherwise crash)
+        if self.ckpt.latest_step() == int(self.state.step):
+            return
         self.ckpt.save(
             int(self.state.step),
             self.state,
@@ -540,7 +556,10 @@ class Trainer:
             self.model, bottleneck=bottleneck, energy_kwargs=energy_kwargs
         )
         x = jnp.zeros((1, self.crop_size), dtype=jnp.float32)
-        variables = new_model.init(jax.random.key(0), self.steps._model_input(x))
+        # jitted: eager full-model init dispatches per-op through the tunnel
+        variables = jax.jit(new_model.init)(
+            jax.random.key(0), self.steps._model_input(x)
+        )
         new_params = dict(variables["params"])
         for key, value in self.state.params.items():
             if key in new_params:
@@ -562,6 +581,9 @@ class Trainer:
         )
         self.model = new_model
         self.gen_tx = tx
+        # the eval-forward cache closed over the OLD model — drop it
+        if hasattr(self, "_fwd_cache"):
+            del self._fwd_cache
         self.steps = StepBuilder(
             self.model, self.discriminators, self.disc_names, self.cfg, self.run,
             self.gen_tx, self.disc_tx,
