@@ -24,4 +24,13 @@ run_phase 2400 /tmp/r03e_om.log \
 
 run_phase 3600 /tmp/r03e_sweep.log python -u tools/bench_sweep.py
 
+# extend the flagship past the previous run's 20.2k-step horizon (the 4h
+# r03d budget lands short of it; --force resumes from the checkpoint and
+# overwrites the final artifact with the extended numbers)
+run_phase 9000 /tmp/r03e_extend.log \
+    python -u tools/quality_r03.py --dtype bfloat16 --force \
+        --hours-per-config 1.5 rvq8_hifi
+
+timeout 300 python tools/quality_r03.py --markdown > /tmp/r03e_md.log 2>&1
+
 echo "r03e queue done at $(date)"
