@@ -126,6 +126,156 @@ class SyntheticAudio:
         return x[None, :], self.sample_rate, {"f0": f"{f0:.1f}"}
 
 
+class PseudoSpeech:
+    """Speech-LIKE synthetic dataset (no reference counterpart): glottal
+    pulse trains shaped by time-varying formant envelopes, with voiced and
+    unvoiced (noise-burst) syllables, syllable-rate amplitude modulation and
+    pauses.
+
+    Why it exists: the harmonic `SyntheticAudio` gives adversarial training
+    nothing perceptual to learn (QUALITY_r03.md finding 2 — the GAN verdict
+    is confounded by the data), and real speech corpora are unavailable in
+    an offline image. This generator produces broadband, formant-structured,
+    onset-rich audio — the signal class the discriminator bank (MelGAN
+    waveform + STFT, networks/discriminator.py) was designed for.
+
+    Synthesis, per utterance (all numpy, deterministic per (seed, index)):
+      1. speaker draw: base f0 in [85, 240] Hz, vocal-tract length scale;
+      2. syllable segmentation (120-320 ms), each voiced (p=.75) or
+         unvoiced, with 8% pauses;
+      3. voiced source: phase-accumulated impulse train at a slowly-walking
+         f0 (+ vibrato + jitter), double one-pole lowpass for glottal tilt;
+         unvoiced source: first-difference (highpassed) white noise;
+      4. formant shaping: per-syllable vowel targets (F1-F3 from a 5-vowel
+         table, linearly coarticulated across boundaries + random detune),
+         applied as Gaussian-bump magnitude envelopes on 20 ms Hann frames
+         via overlap-add (vectorized rFFT filtering, no scipy);
+      5. syllable attack/decay envelope + soft normalization.
+    """
+
+    VOWELS = np.array(  # (F1, F2, F3) Hz — classic Peterson-Barney-ish means
+        [[730.0, 1090.0, 2440.0],   # /a/
+         [530.0, 1840.0, 2480.0],   # /e/
+         [270.0, 2290.0, 3010.0],   # /i/
+         [570.0, 840.0, 2410.0],    # /o/
+         [300.0, 870.0, 2240.0]]    # /u/
+    )
+    BANDWIDTHS = np.array([90.0, 120.0, 180.0])  # Gaussian bump sigmas, Hz
+
+    def __init__(self, length: int = 72000, sample_rate: int = 24000,
+                 n_items: int = 256, seed: int = 0):
+        self.length = length
+        self.sample_rate = sample_rate
+        self.n_items = n_items
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.n_items
+
+    # -- synthesis pieces -------------------------------------------------- #
+    def _segments(self, rng) -> List[Tuple[int, int, int]]:
+        """[(start, end, kind)]: kind 0 = voiced, 1 = unvoiced, 2 = pause."""
+        out, pos = [], 0
+        while pos < self.length:
+            dur = int(rng.uniform(0.12, 0.32) * self.sample_rate)
+            kind = 0 if rng.uniform() < 0.75 else 1
+            if rng.uniform() < 0.08:
+                kind = 2
+            out.append((pos, min(pos + dur, self.length), kind))
+            pos += dur
+        return out
+
+    @staticmethod
+    def _onepole_lowpass(x: np.ndarray, a: float) -> np.ndarray:
+        """y[n] = (1-a) x[n] + a y[n-1], vectorized via the closed-form
+        geometric convolution in log-space chunks (exact, no scan loop)."""
+        # y = (1-a) * sum_k a^k x[n-k]; do it with an FFT-sized kernel long
+        # enough that a^K is negligible
+        K = min(int(np.ceil(np.log(1e-6) / np.log(max(a, 1e-9)))), len(x))
+        kern = (1 - a) * a ** np.arange(K)
+        return np.convolve(x, kern)[: len(x)]
+
+    def _voiced_source(self, rng, n: int, f0_base: float) -> np.ndarray:
+        sr = self.sample_rate
+        t = np.arange(n) / sr
+        # slow f0 random walk + vibrato + per-period jitter
+        walk = np.cumsum(rng.normal(0, 0.4, n)) / sr
+        walk -= np.linspace(0, walk[-1], n)
+        f0 = f0_base * (1 + 0.05 * np.sin(2 * np.pi * rng.uniform(4, 6.5) * t)
+                        * 0.2 + 0.6 * walk) * rng.uniform(0.95, 1.05)
+        f0 = np.clip(f0, 60.0, 320.0)
+        phase = np.cumsum(f0) / sr
+        pulses = np.zeros(n)
+        wraps = np.flatnonzero(np.diff(np.floor(phase)) > 0)
+        jitter = rng.integers(0, 2, size=wraps.shape)
+        idx = np.clip(wraps + jitter, 0, n - 1)
+        pulses[idx] = 1.0
+        # glottal tilt + lip radiation net ~ -6 dB/oct: one one-pole lowpass
+        a = np.exp(-2 * np.pi * 500.0 / sr)
+        return self._onepole_lowpass(pulses, a)
+
+    def _formant_filter(self, rng, x: np.ndarray, segs, scale: float) -> np.ndarray:
+        """20 ms Hann OLA frames x Gaussian formant-bump magnitude response."""
+        sr = self.sample_rate
+        win, hop = int(0.02 * sr), int(0.01 * sr)
+        n = len(x)
+        pad = np.concatenate([x, np.zeros(win)])
+        starts = np.arange(0, n, hop)
+        frames = np.stack([pad[s : s + win] for s in starts]) * np.hanning(win)
+        spec = np.fft.rfft(frames, axis=1)
+        freqs = np.fft.rfftfreq(win, 1 / sr)
+
+        # per-syllable vowel targets, linearly interpolated at frame centers
+        centers = starts + win // 2
+        targets = np.zeros((len(segs), 3))
+        for i, _ in enumerate(segs):
+            v = self.VOWELS[rng.integers(0, len(self.VOWELS))]
+            targets[i] = v * scale * rng.uniform(0.94, 1.06, size=3)
+        seg_mid = np.array([(s + e) / 2 for s, e, _ in segs])
+        F = np.stack([np.interp(centers, seg_mid, targets[:, k])
+                      for k in range(3)], axis=1)  # (n_frames, 3)
+
+        gain = np.full((len(starts), len(freqs)), 0.05)
+        for k, fg in enumerate((1.0, 0.8, 0.6)):
+            bw = self.BANDWIDTHS[k] * scale
+            gain += fg * np.exp(-((freqs[None, :] - F[:, k : k + 1]) ** 2)
+                                / (2 * bw * bw))
+        shaped = np.fft.irfft(spec * gain, n=win, axis=1)
+
+        out = np.zeros(n + win)
+        for fi, s in enumerate(starts):  # OLA (hann @ 50% overlap sums to 1)
+            out[s : s + win] += shaped[fi]
+        return out[:n]
+
+    def __getitem__(self, n: int) -> Tuple[np.ndarray, int, Dict[str, str]]:
+        rng = np.random.default_rng(self.seed * 100003 + 7919 * n + 1)
+        sr, N = self.sample_rate, self.length
+        f0_base = rng.uniform(85, 240)
+        scale = rng.uniform(0.88, 1.18)  # vocal-tract length factor
+
+        segs = self._segments(rng)
+        voiced = self._voiced_source(rng, N, f0_base)
+        noise = rng.normal(0, 1.0, N)
+        noise = np.diff(noise, prepend=0.0)  # highpass for frication
+        src = np.zeros(N)
+        env = np.zeros(N)
+        for s, e, kind in segs:
+            seg_t = np.linspace(0, 1, e - s)
+            attack = np.minimum(seg_t / 0.15, 1.0) * np.minimum(
+                (1 - seg_t) / 0.25, 1.0
+            )
+            if kind == 0:
+                src[s:e] = voiced[s:e] * 3.0
+                env[s:e] = attack
+            elif kind == 1:
+                src[s:e] = noise[s:e] * 0.12
+                env[s:e] = attack * rng.uniform(0.4, 0.8)
+        x = self._formant_filter(rng, src * env, segs, scale)
+        x = x + rng.normal(0, 0.0015, N)  # room noise floor
+        x = (x / (np.abs(x).max() + 1e-6) * 0.7).astype(np.float32)
+        return x[None, :], sr, {"f0": f"{f0_base:.1f}", "kind": "pseudo_speech"}
+
+
 def overtones(length: int, freq: float, n_overtones: int = 5, sample_rate: int = 16000, peak: float = 0.125):
     """Harmonic-stack generator (reference: networks/datasets.py:91-96)."""
     t = np.arange(length, dtype=np.float32) / sample_rate * (freq * 2 * np.pi)
@@ -179,4 +329,7 @@ def get_dataset(name: str, path: str = "", **kwargs):
     if name == "synthetic":
         sr = kwargs.pop("sample_rate", 24000)
         return SyntheticAudio(sample_rate=sr, **kwargs), sr
+    if name == "synthetic_speech":
+        sr = kwargs.pop("sample_rate", 24000)
+        return PseudoSpeech(sample_rate=sr, **kwargs), sr
     raise ValueError(f"Dataset {name!r} not recognised")

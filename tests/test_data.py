@@ -266,3 +266,33 @@ def test_librispeech_flac_layout(tmp_path, rng):
     wave, sr, meta = ds[1]
     assert sr == 16000 and wave.shape == (1, 2001)
     assert meta["path"].endswith(".flac")
+
+
+# --------------------------------------------------------------------------- #
+# PseudoSpeech synthetic dataset
+# --------------------------------------------------------------------------- #
+def test_pseudo_speech_shape_determinism_and_registry():
+    from audio_generation_tpu.data.datasets import PseudoSpeech, get_dataset
+
+    ds = PseudoSpeech(length=24000, n_items=4, seed=11)
+    x, sr, meta = ds[2]
+    assert x.shape == (1, 24000) and x.dtype == np.float32 and sr == 24000
+    assert np.abs(x).max() <= 0.71 and x.std() > 0.01  # normalized, non-silent
+    np.testing.assert_array_equal(x, ds[2][0])  # deterministic per (seed, n)
+    assert not np.array_equal(x, ds[3][0])      # distinct items
+
+    d, srr = get_dataset("synthetic_speech", n_items=2, length=12000)
+    assert srr == 24000 and len(d) == 2 and d[0][0].shape == (1, 12000)
+
+
+def test_pseudo_speech_is_broadband():
+    """The point of the dataset: formant structure above the f0 band (the
+    harmonic SyntheticAudio concentrates ~95% of energy under 1 kHz, which
+    starves the discriminators — QUALITY_r03.md finding 2)."""
+    from audio_generation_tpu.data.datasets import PseudoSpeech
+
+    ds = PseudoSpeech(length=72000, n_items=2, seed=0)
+    x, sr, _ = ds[0]
+    spec = np.abs(np.fft.rfft(x[0])) ** 2
+    freqs = np.fft.rfftfreq(x.shape[1], 1 / sr)
+    assert spec[freqs > 1000].sum() / spec.sum() > 0.05
