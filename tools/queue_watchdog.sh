@@ -31,16 +31,24 @@ RELAUNCH_N=0   # in-process counter: the budget is per watchdog run, not
 
 log() { echo "[watchdog $(date +%H:%M:%S)] $*" >> "$WLOG"; }
 
-cpu_s() {  # total CPU seconds of a PID ([DD-]HH:MM:SS or MM:SS)
-    local t
-    t=$(ps -o time= -p "$1" 2>/dev/null | tr -d ' ') || return 1
-    [ -n "$t" ] || return 1
-    local d=0
-    case "$t" in *-*) d=${t%%-*}; t=${t#*-};; esac
-    local IFS=:
-    set -- $t
-    if [ $# -eq 3 ]; then echo $((d*86400 + $1*3600 + $2*60 + $3))
-    else echo $((d*86400 + $1*60 + $2)); fi
+cpu_s() {
+    # total CPU seconds of the whole PROCESS GROUP led by $1. The pinned PID
+    # is the timeout(1) wrapper, whose own CPU time stays ~0 forever — the
+    # python child in its group burns the CPU. Monitoring only the wrapper
+    # once killed a perfectly healthy 7.4k-step training run as a "wedge".
+    local total=0 t d
+    while read -r t; do
+        [ -n "$t" ] || continue
+        d=0
+        case "$t" in *-*) d=${t%%-*}; t=${t#*-};; esac
+        local IFS=:
+        set -- $t
+        if [ $# -eq 3 ]; then total=$((total + d*86400 + 10#$1*3600 + 10#$2*60 + 10#$3))
+        else total=$((total + d*86400 + 10#$1*60 + 10#$2)); fi
+        unset IFS
+    done < <(ps -eo pgid=,time= | awk -v g="$1" '$1 == g {print $2}')
+    # no processes left in the group -> caller's kill -0 check handles it
+    echo "$total"
 }
 
 queue_pid() {  # newest recorded queue-script PID
@@ -61,7 +69,16 @@ relaunch() {
     rm -f "$STATE"
 }
 
-log "watching $QUEUE (freeze ${FREEZE_S}s, relaunch args: ${RELAUNCH_ARGS[*]:-none})"
+# single instance: replace any previous watchdog, and start from fresh
+# freeze-tracking state (a stale state file pre-ages the freeze timer)
+if [ -f /tmp/watchdog.pid ]; then
+    OLD=$(cat /tmp/watchdog.pid)
+    [ -n "$OLD" ] && [ "$OLD" != "$$" ] && kill "$OLD" 2>/dev/null
+fi
+echo $$ > /tmp/watchdog.pid
+rm -f "$STATE"
+
+log "watching $QUEUE pid=$$ (freeze ${FREEZE_S}s, relaunch args: ${RELAUNCH_ARGS[*]:-none})"
 while true; do
     sleep 300
     if grep -q "queue done" "$DONE_LOG" 2>/dev/null; then

@@ -28,12 +28,19 @@ run_phase() {  # run_phase <timeout_s> <log> <cmd...>
 }
 
 # 0. sanity-probe the remote compile helper (wedge protocol): a trivial jit
-#    must return within ~2 min or the tunnel is unhealthy.
-run_phase 180 /tmp/r03d_probe.log python -u -c "
+#    must return. Retry with backoff — right after a watchdog kill the
+#    tunnel can be transiently busy tearing the old session down (a single
+#    180 s probe once aborted an otherwise-recoverable relaunch).
+probe_ok=""
+for attempt in 1 2 3 4; do
+    run_phase 300 /tmp/r03d_probe.log python -u -c "
 import jax, jax.numpy as jnp
 print(jax.jit(lambda x: (x @ x).sum())(jnp.ones((256, 256))))"
-grep -q "16777216" /tmp/r03d_probe.log || {
-    echo "compile-helper probe FAILED; aborting queue"; exit 1; }
+    if grep -q "16777216" /tmp/r03d_probe.log; then probe_ok=1; break; fi
+    echo "probe attempt $attempt failed; retrying in 120s"
+    sleep 120
+done
+[ -n "$probe_ok" ] || { echo "compile-helper probe FAILED 4x; aborting queue"; exit 1; }
 
 # keep the previous flagship result for history before --force overwrites it
 [ -f QUALITY_r03/rvq8_hifi.json ] && [ ! -f QUALITY_r03/rvq8_hifi.r03b.json ] \
