@@ -86,16 +86,39 @@ CONFIGS = {
         "trainer_args": dict(BASE_TRAINER, use_one_discriminator=True),
         "train_run_args": {},
     },
+    # PseudoSpeech campaign pair (round-4 plan): formant-structured
+    # speech-like data gives the discriminator bank perceptual signal the
+    # harmonic dataset lacks (QUALITY_r03.md finding 2's confound) — the
+    # fair re-test of the reference's GAN claims. Run explicitly by name.
+    "rvq8_speech": {
+        "dataset": "synthetic_speech",
+        "use_discriminator": False,
+        "vae_args": {"num_quantizers": 8},
+        "trainer_args": dict(BASE_TRAINER),
+        "train_run_args": {"gan_loss": False},
+    },
+    "rvq8_gan_speech": {
+        "dataset": "synthetic_speech",
+        "use_discriminator": True,
+        "vae_args": {"num_quantizers": 8},
+        "trainer_args": dict(BASE_TRAINER, use_one_discriminator=True),
+        "train_run_args": {},
+    },
 }
+
+# configs that only make sense when requested explicitly (seeded fine-tune,
+# the round-4 speech pair) — a bare `quality_r03.py` run skips them
+EXPLICIT_ONLY = {"rvq8_gan_ft", "rvq8_speech", "rvq8_gan_speech"}
 
 EPOCHS_PER_CHUNK = 10  # ~31 steps/epoch; aligned with save_every so each
 # chunk ends exactly at a scheduled save (no extra end-of-train() save)
 
 
-def eval_batch(n=16, seed=1234):
-    from audio_generation_tpu.data.datasets import SyntheticAudio
+def eval_batch(n=16, seed=1234, dataset="synthetic"):
+    from audio_generation_tpu.data.datasets import PseudoSpeech, SyntheticAudio
 
-    ds = SyntheticAudio(length=CROP, sample_rate=SR, n_items=n, seed=seed)
+    cls = PseudoSpeech if dataset == "synthetic_speech" else SyntheticAudio
+    ds = cls(length=CROP, sample_rate=SR, n_items=n, seed=seed)
     return np.stack([np.asarray(ds[i][0])[0] for i in range(len(ds))])
 
 
@@ -118,7 +141,7 @@ def run_config(name: str, hours: float, dtype: str):
         }
     )
     trainer = Trainer(cfg)
-    waves = eval_batch()
+    waves = eval_batch(dataset=cfg.dataset)
     if int(trainer.state.step) == 0:
         before = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
         with open(os.path.join(OUT_DIR, f"{name}.before.json"), "w") as f:
@@ -224,6 +247,9 @@ def main():
         out = os.path.join(OUT_DIR, f"{name}.json")
         if os.path.exists(out) and not args.force:
             print(f"skip {name} (final artifact exists)")
+            continue
+        if name in EXPLICIT_ONLY and not args.names:
+            print(f"skip {name} (explicit-only config; pass its name)")
             continue
         if name == "rvq8_gan_ft" and not os.path.isdir(
             os.path.join(OUT_DIR, "runs", name)
