@@ -149,8 +149,23 @@ def read_bitstream(
     if version != 1:
         raise ValueError(f"unsupported AGC version {version}")
     off = _HEADER.size
+    if len(blob) < off + 4 * nq:
+        raise ValueError("truncated AGC1 stream (codebook-size table)")
     sizes = struct.unpack_from(f"<{nq}I", blob, off)
     off += 4 * nq
+    # header sanity bounds BEFORE any allocation: a corrupt/crafted u64
+    # num_frames would otherwise drive multi-GB _unpack_bits allocations,
+    # and stride == 0 makes BitstreamMeta.bitrate_bps divide by zero.
+    if stride == 0:
+        raise ValueError("corrupt AGC1 stream: stride is 0")
+    if any(s < 2 for s in sizes):
+        raise ValueError(f"corrupt AGC1 stream: codebook sizes {sizes}")
+    payload_bytes = sum((T * bits_for(s) + 7) // 8 for s in sizes)
+    if len(blob) - off < payload_bytes:
+        raise ValueError(
+            f"truncated AGC1 stream: header promises {payload_bytes} payload "
+            f"bytes for {T} frames, only {len(blob) - off} present"
+        )
     n = nq if max_levels is None else min(max_levels, nq)
     levels = []
     for q, size in enumerate(sizes):

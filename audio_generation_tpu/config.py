@@ -66,6 +66,11 @@ class VAEConfig:
     # (ops/rvq_pallas.py): bit-exact indices vs the XLA scan at parity speed
     # on v5e (5.8 vs 5.5 ms @ 4800 frames, round 2) — keep False for
     # training (no codebook updates); requires a uniform codebook_size
+    restart_stale_codebooks: bool = False  # dead-entry reactivation inside
+    # the jitted step (models/quantizer.py restart_stale): re-seed entries
+    # whose usage EMA fell below stale_threshold from the batch's worst
+    # residuals. Off = reference parity (the reference tracks staleness but
+    # never acts, networks/training.py:461).
 
     def __post_init__(self):
         if self.use_pallas_rvq and isinstance(self.codebook_size, (list, tuple)):
@@ -114,6 +119,11 @@ class TrainerConfig:
     # negative while mel converges (measured: tools/diag_sisdr.py). A raw MSE
     # term restores gradient pressure across the whole band.
     generator_loss_weight: float = 1.0
+    feature_multiplier: float = 100.0  # feature-matching weight inside the
+    # generator GAN objective (the reference hardcodes 100 at
+    # discriminator.py:202 `feature_multipier`); exposed because adversarial
+    # balance is THE knob for GAN-codec stability — round-3's GAN flagship
+    # destabilized at the default (VERDICT r3 weak #3)
     loss_alpha: float = 0.95
     noise_aug_scale: float = 0.0
     cutoff_scale_per_epoch: float = 0.95

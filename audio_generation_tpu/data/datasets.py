@@ -163,11 +163,17 @@ class PseudoSpeech:
     BANDWIDTHS = np.array([90.0, 120.0, 180.0])  # Gaussian bump sigmas, Hz
 
     def __init__(self, length: int = 72000, sample_rate: int = 24000,
-                 n_items: int = 256, seed: int = 0):
+                 n_items: int = 256, seed: int = 0, cache: bool = False):
         self.length = length
         self.sample_rate = sample_rate
         self.n_items = n_items
         self.seed = seed
+        # synthesis costs ~140 ms/item (OLA formant filtering dominates);
+        # items are deterministic per (seed, n), so an in-RAM cache makes
+        # every epoch after the first free (~280 MB per 1024 3-s items f32).
+        # Thread-safe under concurrent data workers: worst case two threads
+        # synthesize the same item and one write wins (identical values).
+        self._cache: Optional[Dict[int, np.ndarray]] = {} if cache else None
 
     def __len__(self) -> int:
         return self.n_items
@@ -248,6 +254,8 @@ class PseudoSpeech:
         return out[:n]
 
     def __getitem__(self, n: int) -> Tuple[np.ndarray, int, Dict[str, str]]:
+        if self._cache is not None and n in self._cache:
+            return self._cache[n], self.sample_rate, {"kind": "pseudo_speech"}
         rng = np.random.default_rng(self.seed * 100003 + 7919 * n + 1)
         sr, N = self.sample_rate, self.length
         f0_base = rng.uniform(85, 240)
@@ -273,6 +281,8 @@ class PseudoSpeech:
         x = self._formant_filter(rng, src * env, segs, scale)
         x = x + rng.normal(0, 0.0015, N)  # room noise floor
         x = (x / (np.abs(x).max() + 1e-6) * 0.7).astype(np.float32)
+        if self._cache is not None:
+            self._cache[n] = x[None, :]
         return x[None, :], sr, {"f0": f"{f0_base:.1f}", "kind": "pseudo_speech"}
 
 

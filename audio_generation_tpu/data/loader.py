@@ -28,16 +28,23 @@ class PrefetchIterator:
         n_prefetch: int = 2,
         device_put: bool = True,
         sharding=None,
+        assemble=None,
     ):
         self._queue: queue.Queue = queue.Queue(maxsize=max(n_prefetch, 1))
         self._sharding = sharding
         self._device_put = device_put
+        # `assemble` overrides device_put: multi-host feeding passes
+        # parallel.mesh.global_batch_from_local so each process stages only
+        # its own rows (jax.make_array_from_process_local_data)
+        self._assemble = assemble
         self._error: Optional[BaseException] = None
 
         def work():
             try:
                 for item in source:
-                    if self._device_put:
+                    if self._assemble is not None:
+                        item = self._assemble(item)
+                    elif self._device_put:
                         item = (
                             jax.device_put(item, self._sharding)
                             if self._sharding is not None
@@ -64,8 +71,10 @@ class PrefetchIterator:
         return item
 
 
-def prefetch(source: Iterator, n_prefetch: int = 2, sharding=None) -> PrefetchIterator:
-    return PrefetchIterator(source, n_prefetch=n_prefetch, sharding=sharding)
+def prefetch(source: Iterator, n_prefetch: int = 2, sharding=None,
+             assemble=None) -> PrefetchIterator:
+    return PrefetchIterator(source, n_prefetch=n_prefetch, sharding=sharding,
+                            assemble=assemble)
 
 
 def parallel_batches(build_fn: Callable[[int], object], n_batches: int,

@@ -89,6 +89,18 @@ class ResidualQuantizer:
     commitment_weight: float = 0.25
     stale_threshold: float = 1e-2
     laplace_eps: float = 1e-5
+    restart_stale: bool = False  # dead-entry reactivation (standard EMA-VQ
+    # restart; the reference TRACKS staleness but never acts on it —
+    # networks/training.py:461, networks/utils.py:176-181, which left 50-60%
+    # of deep-level entries dead in round-3 campaigns). When on, every
+    # codebook-updating step re-seeds entries whose usage EMA fell below
+    # `stale_threshold` with the current batch's WORST-quantized residuals
+    # (the under-covered points — a better target than the uniform-random
+    # restart because it moves capacity exactly where the error is).
+    restart_usage_reset: float = 1.0  # usage EMA value granted to a restarted
+    # entry: at decay 0.99 it takes ~460 un-hit steps to fall back below the
+    # 1e-2 threshold, giving the new entry time to capture assignments
+    # before it can be restarted again (anti-thrash).
 
     def __post_init__(self):
         sizes = tuple(tuple_checker(self.codebook_sizes, self.num_quantizers))
@@ -390,6 +402,29 @@ class ResidualQuantizer:
                 active, usage * self.ema_decay + (1 - self.ema_decay) * raw_counts, usage
             )
 
+            if self.restart_stale:
+                # Dead-entry reactivation: re-seed stale entries from this
+                # batch's highest-error residuals. Scatter-free: candidate
+                # selection is an argsort + static tile, the overwrite is a
+                # masked `where` over the (S, D) codebook.
+                r2 = jnp.sum(residual * residual, axis=-1)  # (N,)
+                # ||r - c_win||^2 = ||r||^2 + min_dist (dist omits the ||r||^2
+                # row constant); inf beyond-size entries never win the min
+                err = r2 + jnp.min(dist, axis=-1)
+                order = jnp.argsort(-err)  # worst-covered rows first
+                reps = -(-S // order.shape[0])  # static ceil(S / N)
+                cand_idx = jnp.tile(order, reps)[:S]
+                cand = jax.lax.stop_gradient(
+                    jnp.take(residual.astype(jnp.float32), cand_idx, axis=0)
+                )  # (S, D)
+                stale = (new_usage < self.stale_threshold) & smask & do_update
+                new_codebook = jnp.where(stale[:, None], cand, new_codebook)
+                # restore the init invariant means / counts == codebook so the
+                # EMA continues coherently from the re-seeded vector
+                new_count = jnp.where(stale, 1.0, new_count)
+                new_mean = jnp.where(stale[:, None], cand, new_mean)
+                new_usage = jnp.where(stale, self.restart_usage_reset, new_usage)
+
             # accumulate (masked by active level)
             a = active.astype(jnp.float32)
             quant_sum = quant_sum + a * q
@@ -450,6 +485,26 @@ class ResidualQuantizer:
         out = 0.0
         for q in range(n):
             out = out + state.codebooks[q][indices[..., q]]
+        return out
+
+    def codebook_perplexity(self, state: QuantizerState) -> np.ndarray:
+        """Per-level usage perplexity exp(H[p]) where p is the (EMA) usage
+        distribution over live entries — the effective number of codewords in
+        play. log2(perplexity) summed over levels gives an effective bits/
+        frame estimate, the honest counterpart of the nominal
+        sum(log2(codebook_size)) bitrate when entries are dead (VERDICT r3
+        weak #4: 50-60% stale at deep levels overstated the 4 kbps claim)."""
+        usage = np.asarray(state.usage, dtype=np.float64) * self._size_mask()
+        out = np.zeros(self.num_quantizers)
+        for q in range(self.num_quantizers):
+            p = usage[q]
+            total = p.sum()
+            if total <= 0:
+                out[q] = 1.0
+                continue
+            p = p / total
+            nz = p[p > 0]
+            out[q] = float(np.exp(-(nz * np.log(nz)).sum()))
         return out
 
     def get_stale_clusters(self, state: QuantizerState):

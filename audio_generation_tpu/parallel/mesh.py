@@ -128,3 +128,38 @@ def shard_train_state(state, mesh: Mesh):
         discriminators=replicate(state.discriminators, mesh),
         rng=replicate(state.rng, mesh),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Per-host input feeding (SURVEY §2.9 "per-host data loading"; VERDICT r3
+# task 6). On a multi-host pod every process builds ONLY its own rows of the
+# global batch; jax.make_array_from_process_local_data assembles the global
+# sharded array from the per-process shards without any cross-host gather of
+# raw audio. Single-process training is the pc == 1 special case (slice =
+# the whole batch), so the same trainer code path serves both.
+# --------------------------------------------------------------------------- #
+
+def host_batch_slice(global_batch: int, process_index: Optional[int] = None,
+                     process_count: Optional[int] = None) -> tuple[int, int]:
+    """(start, rows) of this host's contiguous slice of the global batch
+    axis. Requires the global batch to divide evenly across processes (the
+    same constraint the mesh 'data' axis already imposes per device)."""
+    pc = jax.process_count() if process_count is None else process_count
+    pi = jax.process_index() if process_index is None else process_index
+    if global_batch % pc != 0:
+        raise ValueError(
+            f"global batch {global_batch} not divisible by process count {pc}"
+        )
+    per = global_batch // pc
+    return pi * per, per
+
+
+def global_batch_from_local(local, mesh: Mesh, spec: P):
+    """Assemble the global jax.Array from this process's local rows.
+
+    `local` holds only this host's `host_batch_slice` rows along the batch
+    dimension named by `spec`; the result is a global array sharded per
+    `spec` whose addressable shards live on this process's devices."""
+    return jax.make_array_from_process_local_data(
+        NamedSharding(mesh, spec), np.asarray(local)
+    )

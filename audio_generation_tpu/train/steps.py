@@ -137,7 +137,10 @@ class StepBuilder:
             )
             scores_real, feats_real = dapply(dvars, x[:, :, None])
             scores_fake, feats_fake = dapply(dvars, y[:, :, None])
-            g_loss = L.generator_gan_loss(scores_fake, feats_real, feats_fake)
+            g_loss = L.generator_gan_loss(
+                scores_fake, feats_real, feats_fake,
+                feature_multiplier=cfg.feature_multiplier,
+            )
             metrics[f"{self.disc_names[di]}_g_loss"] = g_loss
             total = total + cfg.generator_loss_weight * g_loss
 
@@ -232,10 +235,16 @@ class StepBuilder:
             rng, sub = jax.random.split(state.rng)
             accum = batch.shape[0]
             rngs = jax.random.split(sub, accum)
-            # GLOBAL micro-step counter (reference: training.py:305-308 keeps
-            # a running counter): step*accum elapsed micro-batches before this
-            # call. A within-step arange would make micro-batch 0 update every
-            # optimizer step and silently cap the period at `accum`.
+            # GLOBAL micro-step counter: step*accum elapsed micro-batches
+            # before this call. A within-step arange would make micro-batch 0
+            # update every optimizer step and silently cap the period at
+            # `accum`. Deliberate (phase-only) delta vs the reference: its
+            # counter i*accumulation_steps + j (training.py:296-305) RESETS at
+            # each mini_epoch call, so when codebook_update_step does not
+            # divide mini_epoch_length the reference's update phase jumps at
+            # mini-epoch boundaries while ours runs uniformly. Identical at
+            # the default codebook_update_step=1 and whenever the period
+            # divides the mini-epoch length.
             micro_ids = state.step.astype(jnp.int32) * accum + jnp.arange(accum)
             update_flags = (micro_ids % cfg.codebook_update_step) == 0
 

@@ -276,7 +276,17 @@ class Trainer:
         Batch building (wav decode / resample / crop) runs on a
         `data_workers` thread pool with per-batch RNG streams (deterministic
         for any worker count), and the prefetcher overlaps host->device
-        transfer with the device step."""
+        transfer with the device step.
+
+        Multi-host (SURVEY §2.9 per-host data loading): each process builds
+        ONLY its own `host_batch_slice` rows of the global batch and
+        assembles the global sharded array via
+        jax.make_array_from_process_local_data — no raw audio crosses hosts.
+        The shuffle permutation and per-batch seeds derive from the trainer
+        seed, so all processes agree on the item->row assignment without
+        communication. (Crop-RNG consumption order differs from a
+        single-process run of the same global batch; determinism holds per
+        (process_count, worker_count) configuration.)"""
         from audio_generation_tpu.data.loader import parallel_batches, prefetch
 
         idx = np.arange(len(self.dataset) - self.n_eval)  # eval tail held out
@@ -287,12 +297,24 @@ class Trainer:
         n_batches = len(idx) // need
         seed = int(self._np_rng.integers(0, 2**31))
 
+        pc = jax.process_count()
+        if pc > 1:
+            from audio_generation_tpu.parallel.mesh import host_batch_slice
+
+            assert self.mesh is not None and "data" in self.mesh.axis_names, (
+                "multi-process training requires a mesh with a 'data' axis"
+            )
+            hs, hn = host_batch_slice(B)
+        else:
+            hs, hn = 0, B
+
         def build(bi: int):
             # sequence-seeded so (epoch seed, batch index) streams never alias
             rng = np.random.default_rng([seed, bi])
-            items = [
-                self.dataset[int(i)][0] for i in idx[bi * need : (bi + 1) * need]
-            ]
+            sel = idx[bi * need : (bi + 1) * need]
+            if hn != B:  # this host's rows of every accumulation micro-batch
+                sel = sel.reshape(A, B)[:, hs : hs + hn].reshape(-1)
+            items = [self.dataset[int(i)][0] for i in sel]
             batch = collate(
                 items,
                 size=self.crop_size,
@@ -300,7 +322,7 @@ class Trainer:
                 resample_from=self.data_sample_rate,
                 resample_to=self.cfg.sample_rate,
             )
-            return batch.reshape(A, B, self.crop_size)
+            return batch.reshape(A, hn, self.crop_size)
 
         def gen():
             yield from parallel_batches(
@@ -309,11 +331,21 @@ class Trainer:
 
         # overlap host collation + transfer with device compute
         sharding = None
+        assemble = None
         if self.mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            sharding = NamedSharding(self.mesh, P(None, "data", None))
-        yield from prefetch(gen(), n_prefetch=2, sharding=sharding)
+            spec = P(None, "data", None)
+            sharding = NamedSharding(self.mesh, spec)
+            if pc > 1:
+                from audio_generation_tpu.parallel.mesh import (
+                    global_batch_from_local,
+                )
+
+                mesh = self.mesh
+                assemble = lambda b: global_batch_from_local(b, mesh, spec)
+        yield from prefetch(gen(), n_prefetch=2, sharding=sharding,
+                            assemble=assemble)
 
     def _shard_batch(self, batch):
         if self.mesh is None:
@@ -394,13 +426,22 @@ class Trainer:
         m = evaluate_codec(
             self.model, self._variables(), waves, self.cfg.sample_rate
         )
-        return {
+        out = {
             "eval_snr_db": m["snr_db"],
             "eval_si_sdr_db": m["si_sdr_db"],
             "eval_mel_l1": m["mel_l1"],
             "eval_spectral_convergence": m["spectral_convergence"],
             "eval_log_stft_l1": m["log_stft_l1"],
+            "eval_mcd_db": m["mcd_db"],
+            "eval_stoi_proxy": m["stoi_proxy"],
         }
+        if "effective_bitrate_bps" in m:
+            out["eval_effective_kbps"] = m["effective_bitrate_bps"] / 1000.0
+        stale = self._stale_clusters()
+        if stale:
+            sizes = self.model.quantizer.codebook_sizes
+            out["eval_stale_frac"] = float(sum(stale)) / float(sum(sizes))
+        return out
 
     def train(self, epochs: Optional[int] = None, losses: Optional[list] = None):
         """Full training loop (reference: training.py:416-486)."""
@@ -483,11 +524,22 @@ class Trainer:
             return []
         return self.model.quantizer.get_stale_clusters(self.state.codebook["state"])
 
-    def save_state(self):
+    def save_state(self, force: bool = False):
         # idempotent per step: Orbax rejects a duplicate save at an existing
-        # step (zero-step epochs and resume-then-save could otherwise crash)
+        # step (zero-step epochs and resume-then-save could otherwise crash).
+        # `force=True` replaces the existing checkpoint instead — required
+        # when the in-memory state was MUTATED at the current step (e.g. a
+        # params/codebook transplant onto a freshly seeded trainer, as the
+        # GAN fine-tune flow does); without it the transplant would be
+        # silently dropped.
         if self.ckpt.latest_step() == int(self.state.step):
-            return
+            if not force:
+                print(
+                    f"\tSkipping save: checkpoint at step {int(self.state.step)} "
+                    "already exists (pass force=True to replace)"
+                )
+                return
+            self.ckpt.delete(int(self.state.step))
         self.ckpt.save(
             int(self.state.step),
             self.state,

@@ -198,3 +198,30 @@ def test_truncated_level_decode(codec, rng):
     z = model.quantizer.dequantize(state, jnp.asarray(idx[None]))
     y_ref = model.apply(variables, z, method="decode")[0, 0, : L]
     np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-5)
+
+
+def test_corrupt_header_bounds(rng):
+    """ADVICE r3: header fields must be bounded before any allocation."""
+    import struct
+
+    idx = _random_indices(rng, 8, (16,))
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, (16,), 16000, 480, 100)
+    blob = bytearray(buf.getvalue())
+
+    # num_frames inflated to a huge u64 -> rejected against payload length,
+    # not allocated (the header layout is MAGIC u32, ver u8, nq u8, flags
+    # u16, sr u32, stride u32, T u64, orig u64 per bitstream._HEADER)
+    from audio_generation_tpu.bitstream import _HEADER
+
+    magic, ver, nq, flags, sr, stride, T, orig = _HEADER.unpack_from(blob, 0)
+    huge = bytearray(blob)
+    huge[: _HEADER.size] = _HEADER.pack(magic, ver, nq, flags, sr, stride, 2**40, orig)
+    with pytest.raises(ValueError, match="truncated"):
+        read_bitstream(bytes(huge))
+
+    # stride == 0 -> rejected at parse time (bitrate_bps would divide by 0)
+    zs = bytearray(blob)
+    zs[: _HEADER.size] = _HEADER.pack(magic, ver, nq, flags, sr, 0, T, orig)
+    with pytest.raises(ValueError, match="stride"):
+        read_bitstream(bytes(zs))

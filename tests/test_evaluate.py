@@ -79,7 +79,37 @@ def test_evaluate_codec(rng):
     metrics = evaluate_codec(model, variables, waves, 24000)
     assert set(metrics) == {
         "snr_db", "si_sdr_db", "mel_l1", "spectral_convergence",
-        "log_stft_l1", "bitrate_bps", "latent_fps",
+        "log_stft_l1", "mcd_db", "stoi_proxy", "bitrate_bps", "latent_fps",
+        "effective_bitrate_bps",
     }
+    assert metrics["effective_bitrate_bps"] <= metrics["bitrate_bps"] + 1e-6
     assert metrics["latent_fps"] == 4000.0
     assert np.isfinite(metrics["snr_db"])
+
+
+def test_mcd_zero_for_identical_and_monotone(rng):
+    from audio_generation_tpu.evaluate import mcd_db
+
+    t = np.arange(24000, dtype=np.float32) / 24000.0
+    x = np.sin(2 * np.pi * 220 * t)[None, :]
+    assert mcd_db(x, x, 24000) < 1e-3
+    small = x + 0.01 * rng.normal(size=x.shape).astype(np.float32)
+    big = x + 0.3 * rng.normal(size=x.shape).astype(np.float32)
+    assert 0 < mcd_db(x, small, 24000) < mcd_db(x, big, 24000)
+
+
+def test_stoi_proxy_bounds_and_monotone(rng):
+    from audio_generation_tpu.evaluate import stoi_proxy
+
+    # speech-band modulated noise: envelopes actually vary across segments
+    t = np.arange(48000, dtype=np.float32) / 24000.0
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 4 * t)  # 4 Hz syllabic modulation
+    x = (env * rng.normal(size=t.shape)).astype(np.float32)[None, :]
+    perfect = stoi_proxy(x, x, 24000)
+    assert perfect > 0.99
+    small = x + 0.1 * rng.normal(size=x.shape).astype(np.float32)
+    noise = rng.normal(size=x.shape).astype(np.float32)
+    s_small = stoi_proxy(x, small, 24000)
+    s_noise = stoi_proxy(x, noise, 24000)
+    assert s_noise < s_small <= perfect + 1e-6
+    assert -1.0 <= s_noise <= 1.0

@@ -260,3 +260,49 @@ def test_pallas_rvq_model_path(rng):
         rvq_pallas.rvq_encode = orig
     np.testing.assert_array_equal(np.asarray(idx_fast), np.asarray(idx_ref))
     np.testing.assert_allclose(np.asarray(zq_fast), np.asarray(zq_ref), rtol=1e-5, atol=1e-6)
+
+
+def test_energy_rvq_bottleneck_is_a_real_codec(rng):
+    """'energy_rvq' codes the post-descent tokens with the RVQ cascade
+    (VERDICT r3 task 8): real indices, decode_indices round-trip, and
+    straight-through gradients reaching the encoder."""
+    import jax
+    import jax.numpy as jnp
+    from audio_generation_tpu.models import CausalVQAE
+
+    model = CausalVQAE(
+        in_channels=1, n_blocks=2, n_layers_per_block=2,
+        first_block_channels=4, num_quantizers=2, codebook_size=16,
+        codebook_dim=8, strides=(2, 3), wavelet_decoders=(False, False),
+        input_format="b l c", use_som=False, vq_type="ema",
+        bottleneck="energy_rvq",
+        energy_kwargs={"n_iters": 2, "n_heads": 2, "head_dim": 4},
+    )
+    x = jnp.asarray(rng.normal(size=(2, 60, 1)) * 0.1, jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    (y, commit, idx), _ = model.apply(variables, x, mutable=["codebook"])
+    assert y.shape == x.shape
+    assert idx.shape == (2, 10, 2)
+    # indices are non-degenerate (more than one codeword in play)
+    assert len(np.unique(np.asarray(idx))) > 1
+
+    # the coded-transmission path: indices alone -> waveform
+    y2 = model.apply(variables, idx, method="decode_indices")
+    assert y2.shape == y.shape
+    # decode_indices uses the same dequantize+decode as the forward
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=1e-4, atol=1e-5)
+
+    # gradient flows through descent + straight-through to encoder params
+    def loss(params):
+        (yy, cc, _), _ = model.apply(
+            {"params": params, "codebook": variables["codebook"]},
+            x, mutable=["codebook"],
+        )
+        return jnp.mean(yy**2) + cc
+
+    grads = jax.grad(loss)(variables["params"])
+    stem = jax.tree_util.tree_leaves(grads["enc_stem"])
+    assert any(float(jnp.abs(g).sum()) > 0 for g in stem)
+    # the energy module's own params also receive gradient (via commit/recon)
+    ekey = [k for k in grads if "energy" in k.lower()]
+    assert ekey, f"energy params missing from grads: {list(grads)}"

@@ -416,3 +416,44 @@ def test_model_lr_knob_reaches_generator_optimizer(tmp_path, tiny_dataset):
     tr_lo = Trainer(cfg_lo, dataset=tiny_dataset, data_sample_rate=24000)
     ratio = peak_lr(tr_hi) / max(peak_lr(tr_lo), 1e-12)
     assert ratio > 10, f"model_lr not reaching the optimizer (ratio {ratio})"
+
+
+def test_params_npz_snapshot_roundtrip(tmp_path, rng):
+    """save_params_npz/load_params_npz: bit-exact portable snapshot."""
+    import jax
+    import jax.numpy as jnp
+    from audio_generation_tpu.models import CausalVQAE
+    from audio_generation_tpu.train.checkpoint import (
+        load_params_npz, save_params_npz,
+    )
+
+    model = CausalVQAE(
+        in_channels=1, n_blocks=2, n_layers_per_block=2,
+        first_block_channels=4, num_quantizers=2, codebook_size=16,
+        codebook_dim=8, strides=(2, 3), wavelet_decoders=(False, False),
+        use_som=False, vq_type="ema",
+    )
+    x = jnp.zeros((1, 60, 1))
+    variables = model.init(jax.random.key(0), x)
+    p = str(tmp_path / "snap.npz")
+    size = save_params_npz(
+        p, variables["params"], variables["codebook"], {"step": 123}
+    )
+    assert size > 0
+    params, codebook, meta = load_params_npz(p)
+    assert meta == {"step": 123}
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+               key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # QuantizerState rebuilt, and loaded variables run the model unchanged
+    w = jnp.asarray(rng.normal(size=(1, 60, 1)) * 0.1, jnp.float32)
+    (y0, _, i0), _ = model.apply(variables, w, mutable=["codebook"])
+    (y1, _, i1), _ = model.apply(
+        {"params": params, "codebook": codebook}, w, mutable=["codebook"]
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))

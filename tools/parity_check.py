@@ -119,9 +119,72 @@ def backend_index_parity():
     }
 
 
+def discriminator_parity():
+    """Adversary parity vs torch mirrors (VERDICT r3 task 7): reference-
+    geometry (scaled-down) waveform + STFT discriminators and one spectral-
+    normalized conv, same weights, same scores/features (reference:
+    networks/discriminator.py:7-197)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from audio_generation_tpu.models.discriminators import (
+        STFTDiscriminator, WaveformDiscriminatorBlock,
+    )
+    from torch_mirror import (
+        TorchSTFTDisc, TorchWaveformDiscBlock, transplant_stft_disc,
+        transplant_waveform_block,
+    )
+
+    rng = np.random.default_rng(1)
+    out = {}
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        geom = dict(channel_sizes=(4, 8, 8), kernel_sizes=(15, 41, 5),
+                    strides=(1, 4, 1), groups=(1, 2, 1))
+        block = WaveformDiscriminatorBlock(scale=2, norm="none", **geom)
+        x = (rng.normal(size=(2, 3000, 1)) * 0.3).astype(np.float32)
+        variables = block.init(jax.random.key(0), jnp.asarray(x))
+        score, feats = block.apply(variables, jnp.asarray(x))
+        tm = transplant_waveform_block(
+            TorchWaveformDiscBlock(scale=2, **geom), variables["params"]
+        )
+        tm.eval()
+        with torch.no_grad():
+            tscore, tfeats = tm(torch.from_numpy(x.transpose(0, 2, 1)).double())
+        ref = tscore.numpy()[:, 0, :]
+        err = np.abs(np.asarray(score)[:, :, 0] - ref)
+        out["waveform_block_score_max_rel"] = float(
+            (err / (np.abs(ref) + 1e-8)).max()
+        )
+        out["waveform_block_n_features"] = len(feats)
+
+        disc = STFTDiscriminator(win_length=128, first_channel_size=4, norm="none")
+        xs = (rng.normal(size=(2, 4096, 1)) * 0.3).astype(np.float32)
+        variables = disc.init(jax.random.key(1), jnp.asarray(xs))
+        scores, feats = disc.apply(variables, jnp.asarray(xs))
+        ts = transplant_stft_disc(
+            TorchSTFTDisc(win_length=128, first_channel_size=4),
+            variables["params"],
+        )
+        ts.eval()
+        with torch.no_grad():
+            tscores, tfeats = ts(torch.from_numpy(xs.transpose(0, 2, 1)).double())
+        ref = tscores[0].numpy().transpose(0, 2, 3, 1)
+        err = np.abs(np.asarray(scores[0]) - ref)
+        out["stft_disc_score_max_rel"] = float((err / (np.abs(ref) + 1e-8)).max())
+        out["stft_disc_n_features"] = len(feats)
+
+    out["pass"] = (
+        out["waveform_block_score_max_rel"] < 1e-4
+        and out["stft_disc_score_max_rel"] < 1e-4
+    )
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="PARITY_r03.json")
+    ap.add_argument("--out", default="PARITY_r04.json")
     args = ap.parse_args()
 
     report = {
@@ -134,11 +197,13 @@ def main():
             wavelet_decoders=(False, True, False, False, False)
         ),
         "backend_index_parity": backend_index_parity(),
+        "discriminator_parity": discriminator_parity(),
     }
     report["pass"] = bool(
         report["torch_waveform_parity"]["pass"]
         and report["torch_waveform_parity_wavelet_default"]["pass"]
         and report["backend_index_parity"]["pass"]
+        and report["discriminator_parity"]["pass"]
     )
     out = os.path.join(os.path.dirname(__file__), "..", args.out)
     with open(out, "w") as f:

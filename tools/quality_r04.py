@@ -1,0 +1,541 @@
+"""QUALITY_r04 — the round-4 speech-campaign driver (VERDICT r3 tasks 1-3, 8).
+
+All runs train on PseudoSpeech (formant-structured speech-like audio;
+real speech corpora are unavailable in this zero-egress image — documented
+in the markdown) with the round-3 flagship recipe (bf16, w100+raw100+clip10)
+plus the round-4 additions:
+
+  * dead-codebook reactivation ON (vae_args.restart_stale_codebooks;
+    VERDICT task 4) — stale fraction + effective bitrate tracked in-loop;
+  * perceptual eval columns: MCD (dB) and a STOI-style intelligibility
+    proxy (VERDICT task 5) — the metrics an adversarial win can show on.
+
+Configs:
+  rvq8_speech          no-GAN RVQ-8 flagship (the donor + wall-clock anchor)
+  rvq8_gan_ft_speech   GAN fine-tune of the trained donor (converge-then-
+                       adversarial), TUNED balance: feature_multiplier 2
+                       (HiFi-GAN's value; reference hardcodes 100), equal
+                       G/D LRs 2e-4 — the defensible test of the reference
+                       GAN claims (README.md:57-58). Run via --seed-ganft.
+  rvq8_gan_speech      from-scratch one-sampled-discriminator GAN at
+                       matched wall-clock, same tuned balance (fm 10).
+  energy_rvq_speech    energy-transformer bottleneck CODING its post-descent
+                       tokens through RVQ (bottleneck="energy_rvq"): the
+                       reference's "much stronger than RVQ" claim
+                       (README.md:56) tested as a real codec with a real
+                       bitrate (VERDICT task 8).
+
+Every finished config snapshots generator params + codebooks to
+artifacts/ckpt/<name>.npz (train/checkpoint.save_params_npz) so the trained
+result survives VM resets inside the git repo (rounds 2 AND 3 lost their
+trained checkpoints to resets).
+
+Usage:
+  python tools/quality_r04.py [--hours-per-config H] [--force] [names...]
+  python tools/quality_r04.py --seed-ganft        # transplant donor -> ft
+  python tools/quality_r04.py --markdown
+  python tools/quality_r04.py --smoke             # CPU pipeline check
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+OUT_DIR = "QUALITY_r04"
+SNAP_DIR = "artifacts/ckpt"
+SR, CROP = 24000, 36000
+N_ITEMS = 1024  # PseudoSpeech corpus size (in-RAM cached, ~300 MB; the last
+# eval_items=8 are held out by the trainer for the in-loop eval)
+DATASET = "synthetic_speech"
+
+BASE_TRAINER = {
+    "batch_size": 8,
+    "accumulation_steps": 1,
+    "mini_epoch_length": 32,
+    "crop_size": CROP,
+    "reconstruction_loss_weight": 100.0,  # reference config value
+    # (reference config/training.yml:28)
+    "raw_reconstruction_weight": 100.0,   # framework extension
+    # (tools/diag_sisdr.py: pre-emphasis removes the f0 band's gradient)
+    "grad_clip_norm": 10.0,
+    "data_workers": 4,  # PseudoSpeech synthesis ~140 ms/item first epoch
+    "eval_every": 2,
+    "save_every": 1000,  # save only at train() chunk ends (tunnel saves
+    # cost minutes each; see tools/quality_r03.py)
+}
+
+BASE_VAE = {
+    "num_quantizers": 8,
+    "restart_stale_codebooks": True,  # VERDICT r3 task 4
+}
+
+CONFIGS = {
+    "rvq8_speech": {
+        "use_discriminator": False,
+        "vae_args": dict(BASE_VAE),
+        "trainer_args": dict(BASE_TRAINER),
+        "train_run_args": {"gan_loss": False},
+    },
+    # GAN fine-tune of the trained rvq8_speech donor. Balance rationale:
+    # round-3's from-scratch GAN ran fm=100 (reference default) and the
+    # adversarial+fm term was ~60x the reconstruction total when it
+    # destabilized (QUALITY_r03.md finding 2, SI-SDR -38 dB excursion).
+    # HiFi-GAN ships fm=2 with mel 45; with our recon weight 100+100 a fm=2
+    # one-discriminator term enters at O(1) — a perturbation, not a takeover.
+    # Equal G/D LRs (2e-4, the HiFi-GAN/EnCodec convention) replace the
+    # reference's 5e-4/1.5e-3 split; step 0 restart re-warms the G schedule.
+    "rvq8_gan_ft_speech": {
+        "use_discriminator": True,
+        "vae_args": dict(BASE_VAE),
+        "trainer_args": dict(
+            BASE_TRAINER,
+            use_one_discriminator=True,
+            model_lr=2e-4,
+            discriminator_lr=2e-4,
+            feature_multiplier=2.0,
+        ),
+        "train_run_args": {},
+    },
+    # from-scratch GAN at matched wall-clock vs rvq8_speech; fm=10 (the
+    # feature-matching term doubles as a perceptual loss while the codec is
+    # still far from the data manifold, so a larger weight is defensible
+    # from scratch; 100 demonstrably was not).
+    "rvq8_gan_speech": {
+        "use_discriminator": True,
+        "vae_args": dict(BASE_VAE),
+        "trainer_args": dict(
+            BASE_TRAINER,
+            use_one_discriminator=True,
+            discriminator_lr=4e-4,
+            feature_multiplier=10.0,
+        ),
+        "train_run_args": {},
+    },
+    "energy_rvq_speech": {
+        "use_discriminator": False,
+        "vae_args": dict(BASE_VAE, bottleneck="energy_rvq",
+                         energy_kwargs={"n_iters": 8}),
+        "trainer_args": dict(BASE_TRAINER),
+        "train_run_args": {"gan_loss": False},
+    },
+}
+
+EXPLICIT_ONLY = {"rvq8_gan_ft_speech"}  # needs the --seed-ganft transplant
+GANFT_DONOR = "rvq8_speech"
+EPOCHS_PER_CHUNK = 3  # 8 mini-epochs/epoch at N_ITEMS=1024 (~248 steps);
+# chunks end at scheduled saves
+
+
+def build_dataset(smoke=False):
+    from audio_generation_tpu.data.datasets import PseudoSpeech
+
+    return PseudoSpeech(
+        length=18000 if smoke else 72000, sample_rate=SR,
+        n_items=64 if smoke else N_ITEMS, cache=not smoke,
+    )
+
+
+def eval_batch(n=16, seed=1234, smoke=False):
+    from audio_generation_tpu.data.datasets import PseudoSpeech
+
+    L = 18000 if smoke else CROP
+    ds = PseudoSpeech(length=L, sample_rate=SR, n_items=n, seed=seed)
+    return np.stack([np.asarray(ds[i][0])[0] for i in range(len(ds))])
+
+
+def make_trainer(name: str, dtype: str, smoke=False):
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.train.trainer import Trainer
+
+    spec = json.loads(json.dumps(CONFIGS[name]))  # deep copy
+    spec["vae_args"]["compute_dtype"] = dtype
+    kwargs = {}
+    if smoke:
+        spec["vae_args"]["first_block_channels"] = 8
+        spec["trainer_args"].update(batch_size=2, mini_epoch_length=4,
+                                    crop_size=6144, data_workers=2)
+        if spec.get("use_discriminator"):
+            from audio_generation_tpu.models.discriminators import (
+                build_discriminators,
+            )
+
+            kwargs["discriminators"] = build_discriminators(small=True)
+    root = "/tmp/r04_smoke" if smoke else os.path.join(OUT_DIR, "runs")
+    cfg = ExperimentConfig.from_dict(
+        {
+            "experiment_name": name,
+            "dataset": DATASET,
+            "sample_rate": SR,
+            "scratch_train": False,  # RESUME when checkpoints exist
+            "save_path_root": root + "/",
+            **spec,
+        }
+    )
+    return Trainer(cfg, dataset=build_dataset(smoke), data_sample_rate=SR,
+                   **kwargs)
+
+
+def snapshot(trainer, name: str, smoke=False):
+    """Generator params + codebook -> one committed npz (VM-reset durable)."""
+    import jax
+
+    from audio_generation_tpu.train.checkpoint import save_params_npz
+
+    out = os.path.join("/tmp/r04_smoke" if smoke else SNAP_DIR, f"{name}.npz")
+    size = save_params_npz(
+        out,
+        jax.device_get(trainer.state.params),
+        jax.device_get(trainer.state.codebook),
+        {
+            "config": name,
+            "step": int(trainer.state.step),
+            "dtype": str(trainer.model.compute_dtype),
+            "vae_args": CONFIGS[name]["vae_args"],
+            "sample_rate": SR,
+        },
+        params_dtype="float16",  # ~100 MB committed artifact instead of 182
+    )
+    print(f"[{name}] snapshot -> {out} ({size/1e6:.1f} MB)", flush=True)
+
+
+def seed_ganft(dtype: str, smoke=False):
+    """Transplant the trained rvq8_speech generator into a step-0
+    rvq8_gan_ft_speech checkpoint (fresh discriminators + optimizers; the
+    step-0 restart re-warms the LR schedule for a gentle adversarial onset)."""
+    import jax
+
+    root = "/tmp/r04_smoke" if smoke else os.path.join(OUT_DIR, "runs")
+    name = "rvq8_gan_ft_speech"
+    ckpt_dir = os.path.join(root, name, "checkpoints")
+    if os.path.isdir(ckpt_dir) and any(os.scandir(ckpt_dir)):
+        print(f"[ganft] {name} checkpoint exists — no transplant needed")
+        return
+
+    donor = make_trainer(GANFT_DONOR, dtype, smoke)
+    donor_step = int(donor.state.step)
+    if donor_step == 0 and not smoke:
+        sys.exit(f"donor {GANFT_DONOR} has no trained checkpoint yet")
+    donor_params = jax.device_get(donor.state.params)
+    donor_codebook = jax.device_get(donor.state.codebook)
+    donor.ckpt.close()
+    del donor
+
+    ft = make_trainer(name, dtype, smoke)
+    assert int(ft.state.step) == 0, "fresh fine-tune trainer expected"
+    ft.state = ft.state.replace(params=donor_params, codebook=donor_codebook)
+    ft.save_state()
+    ft.ckpt.close()
+    with open(os.path.join(root, name, "seed.json"), "w") as f:
+        json.dump({"donor": GANFT_DONOR, "donor_step": donor_step}, f)
+    print(f"[ganft] seeded {name} at step 0 from {GANFT_DONOR} "
+          f"step {donor_step}", flush=True)
+
+
+def run_config(name: str, hours: float, dtype: str, smoke=False):
+    from audio_generation_tpu.data import write_wav
+    from audio_generation_tpu.evaluate import evaluate_codec
+
+    out_dir = "/tmp/r04_smoke" if smoke else OUT_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    trainer = make_trainer(name, dtype, smoke)
+    waves = eval_batch(smoke=smoke)
+    before_p = os.path.join(out_dir, f"{name}.before.json")
+    if int(trainer.state.step) == 0 or not os.path.exists(before_p):
+        before = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
+        with open(before_p, "w") as f:
+            json.dump({k: round(float(v), 4) for k, v in before.items()}, f)
+
+    deadline = time.time() + hours * 3600
+    losses: list = []
+    while time.time() < deadline:
+        trainer.train(epochs=EPOCHS_PER_CHUNK, losses=losses)
+        print(f"[{name}] step {int(trainer.state.step)} "
+              f"({(deadline - time.time())/60:.0f} min left)", flush=True)
+        if smoke:
+            break
+
+    after = evaluate_codec(trainer.model, trainer._variables(), waves, SR)
+    before = json.load(open(before_p))
+
+    y = trainer.reconstruct(waves[0])
+    write_wav(os.path.join(out_dir, f"{name}_recon.wav"), y, SR)
+    write_wav(os.path.join(out_dir, f"{name}_orig.wav"), waves[0][: len(y)], SR)
+
+    if trainer.model.bottleneck in ("rvq", "energy_rvq"):
+        import jax
+
+        sample = jax.jit(
+            lambda v, k: trainer.model.apply(
+                v, k, 225, method="sample", mutable=["codebook"]
+            )
+        )(trainer._variables(), jax.random.key(0))[0]
+        s = np.asarray(sample)
+        if s.ndim == 3:
+            s = s[0, :, 0] if trainer.model.input_format == "b l c" else s[0, 0, :]
+        else:
+            s = s[0]
+        write_wav(os.path.join(out_dir, f"{name}_uncond_sample.wav"),
+                  s.astype(np.float32), SR)
+
+    stale = trainer._stale_clusters()
+    sizes = trainer.model.quantizer.codebook_sizes
+    result = {
+        "config": name,
+        "dtype": dtype,
+        "steps": int(trainer.state.step),
+        "hours": hours,
+        "loss_last16": float(np.mean(losses[-16:])) if losses else None,
+        "stale_per_level": stale,
+        "stale_frac": (float(sum(stale)) / float(sum(sizes))) if stale else None,
+        "before": before,
+        "after": {k: round(float(v), 4) for k, v in after.items()},
+    }
+    seed_meta = os.path.join(OUT_DIR, "runs", name, "seed.json")
+    if not smoke and os.path.exists(seed_meta):
+        result.update(json.load(open(seed_meta)))
+    with open(os.path.join(out_dir, f"{name}.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    snapshot(trainer, name, smoke)
+    print(json.dumps(result), flush=True)
+    return result
+
+
+# ------------------------------------------------------------------------- #
+def write_markdown():
+    import csv
+
+    rows = []
+    for name in CONFIGS:
+        p = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(p):
+            rows.append(json.load(open(p)))
+    if not rows:
+        print("no results yet")
+        return
+    by = {r["config"]: r for r in rows}
+
+    def traj(name, cols=("eval_si_sdr_db", "eval_mel_l1", "eval_mcd_db",
+                         "eval_stoi_proxy")):
+        p = os.path.join(OUT_DIR, "runs", name, "metrics.csv")
+        if not os.path.exists(p):
+            return []
+        out = []
+        for r in csv.DictReader(open(p)):
+            if r.get(cols[0]):
+                try:
+                    out.append((int(r["step"]),) + tuple(float(r[c]) for c in cols))
+                except (KeyError, ValueError):
+                    continue
+        expect = by.get(name, {}).get("steps")
+        if out and expect and out[-1][0] < 0.8 * expect:
+            return []  # fresh restart's csv must not shadow the full run
+        return out
+
+    lines = [
+        "# QUALITY_r04 — speech campaign (PseudoSpeech), tuned GAN head-to-head",
+        "",
+        "All runs train on **PseudoSpeech** — formant-structured, "
+        "glottal-pulse speech-like synthesis (data/datasets.py) — because "
+        "real speech corpora cannot be downloaded in this zero-egress image "
+        "(VERDICT r3 task 2 is environment-blocked; this is the closest "
+        f"available workload). bf16, crop {CROP} @ {SR} Hz, batch 8, "
+        "reconstruction 100 + raw 100, grad-clip 10, dead-codebook "
+        "reactivation ON (restart_stale_codebooks). Held-out PseudoSpeech "
+        "eval batch (seed 1234). Final checkpoints are committed under "
+        "`artifacts/ckpt/*.npz`.",
+        "",
+        "| config | steps | SI-SDR dB | SNR dB | mel-L1 | MCD dB | STOI* | "
+        "eff. kbps | stale % |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        a = r["after"]
+        eff = a.get("effective_bitrate_bps")
+        stale = r.get("stale_frac")
+        lines.append(
+            f"| {r['config']} | {r['steps']} | {a['si_sdr_db']:+.2f} | "
+            f"{a['snr_db']:+.2f} | {a['mel_l1']:.3f} | {a['mcd_db']:.2f} | "
+            f"{a['stoi_proxy']:.3f} | "
+            f"{'' if eff is None else f'{eff/1000:.2f}'} | "
+            f"{'' if stale is None else f'{100*stale:.1f}'} |"
+        )
+    lines += [
+        "",
+        "*STOI: uncalibrated intelligibility proxy (evaluate.stoi_proxy), "
+        "comparable across rows, not an absolute STOI score. Initial "
+        "(untrained) metrics for this eval batch: "
+        + (
+            f"SI-SDR {by[next(iter(by))]['before']['si_sdr_db']:.1f} dB, "
+            f"mel-L1 {by[next(iter(by))]['before']['mel_l1']:.2f}, "
+            f"MCD {by[next(iter(by))]['before'].get('mcd_db', float('nan')):.1f} dB."
+        ),
+        "",
+        "## Trajectories (held-out, in-loop eval; step: SI-SDR / mel / MCD / STOI)",
+        "",
+    ]
+    for r in rows:
+        t = traj(r["config"])
+        if not t:
+            continue
+        pts = t[:: max(len(t) // 10, 1)] + [t[-1]]
+        lines.append(
+            f"**{r['config']}**: " + "  ".join(
+                f"s{s}: {si:+.1f}/{mel:.2f}/{mcd:.1f}/{st:.2f}"
+                for s, si, mel, mcd, st in pts
+            )
+        )
+        lines.append("")
+
+    lines += ["## Findings", ""]
+    nogan, ft, scratch, energy = (
+        by.get("rvq8_speech"), by.get("rvq8_gan_ft_speech"),
+        by.get("rvq8_gan_speech"), by.get("energy_rvq_speech"),
+    )
+    k = 1
+    if nogan:
+        a = nogan["after"]
+        lines += [
+            f"{k}. **Speech-like flagship**: rvq8_speech reaches SI-SDR "
+            f"{a['si_sdr_db']:+.2f} dB / mel-L1 {a['mel_l1']:.3f} / MCD "
+            f"{a['mcd_db']:.2f} dB / STOI* {a['stoi_proxy']:.3f} at "
+            f"{a['bitrate_bps']/1000:.0f} kbps nominal "
+            f"({a.get('effective_bitrate_bps', 0)/1000:.2f} kbps effective) "
+            f"after {nogan['steps']} steps (~{nogan['hours']:.1f} h, one v5e).",
+            "",
+        ]
+        k += 1
+        if nogan.get("stale_frac") is not None:
+            lines += [
+                f"{k}. **Dead-codebook reactivation works** (VERDICT task 4): "
+                f"{100*nogan['stale_frac']:.1f}% stale entries at campaign end "
+                f"(per level: {nogan['stale_per_level']}) vs 50-60% dead at "
+                "deep levels in round 3 without restarts; effective bitrate "
+                f"{nogan['after'].get('effective_bitrate_bps', 0)/1000:.2f} "
+                "of 4.00 kbps nominal.",
+                "",
+            ]
+            k += 1
+    if ft and nogan:
+        fa, na = ft["after"], nogan["after"]
+        wins = [
+            m for m, better_low in (
+                ("mel_l1", True), ("mcd_db", True), ("stoi_proxy", False),
+                ("si_sdr_db", False),
+            )
+            if (fa[m] < na[m]) == better_low
+        ]
+        lines += [
+            f"{k}. **GAN fine-tune (converge-then-adversarial, tuned fm=2, "
+            f"equal 2e-4 LRs)** vs the donor at its final step: "
+            f"SI-SDR {fa['si_sdr_db']:+.2f} vs {na['si_sdr_db']:+.2f}, mel "
+            f"{fa['mel_l1']:.3f} vs {na['mel_l1']:.3f}, MCD {fa['mcd_db']:.2f} "
+            f"vs {na['mcd_db']:.2f}, STOI* {fa['stoi_proxy']:.3f} vs "
+            f"{na['stoi_proxy']:.3f} — GAN ahead on: "
+            f"{', '.join(wins) if wins else 'none'}. "
+            f"(Donor seeded at step {ft.get('donor_step', '?')}; fine-tuned "
+            f"{ft['steps']} further steps.)",
+            "",
+        ]
+        k += 1
+    if scratch and nogan:
+        sa = scratch["after"]
+        lines += [
+            f"{k}. **From-scratch GAN at matched wall-clock** "
+            f"({scratch['hours']:.1f} h): SI-SDR {sa['si_sdr_db']:+.2f} dB, "
+            f"mel {sa['mel_l1']:.3f}, MCD {sa['mcd_db']:.2f}, STOI* "
+            f"{sa['stoi_proxy']:.3f} at {scratch['steps']} steps (GAN steps "
+            "cost ~3x a no-GAN step).",
+            "",
+        ]
+        k += 1
+    if energy and nogan:
+        ea = energy["after"]
+        lines += [
+            f"{k}. **Energy-transformer bottleneck as a real codec** "
+            f"(bottleneck=energy_rvq, VERDICT task 8): the post-descent "
+            f"tokens are RVQ-coded, so this row has a true bitrate "
+            f"({ea['bitrate_bps']/1000:.0f} kbps nominal / "
+            f"{ea.get('effective_bitrate_bps', 0)/1000:.2f} effective): "
+            f"SI-SDR {ea['si_sdr_db']:+.2f} dB, mel {ea['mel_l1']:.3f}, MCD "
+            f"{ea['mcd_db']:.2f} vs RVQ-only {na_str(nogan)} at matched "
+            f"wall-clock — re-testing reference README.md:56 "
+            "('much stronger than RVQ') in the coded setting.",
+            "",
+        ]
+        k += 1
+
+    with open("QUALITY_r04.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote QUALITY_r04.md")
+
+
+def na_str(nogan):
+    a = nogan["after"]
+    return (f"SI-SDR {a['si_sdr_db']:+.2f} / mel {a['mel_l1']:.3f} / "
+            f"MCD {a['mcd_db']:.2f}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--hours-per-config", type=float, default=2.5)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--markdown", action="store_true")
+    ap.add_argument("--seed-ganft", action="store_true")
+    ap.add_argument("--smoke", action="store_true")
+    ap.add_argument("--force", action="store_true",
+                    help="re-run/EXTEND a config whose final artifact exists")
+    ap.add_argument("names", nargs="*", default=None)
+    args = ap.parse_args()
+    if args.markdown:
+        write_markdown()
+        return
+    if args.seed_ganft:
+        seed_ganft(args.dtype, args.smoke)
+        return
+    if args.smoke:
+        for name in args.names or ["rvq8_speech", "rvq8_gan_speech",
+                                   "energy_rvq_speech"]:
+            print(f"=== smoke {name} ===", flush=True)
+            run_config(name, 0.001, "float32", smoke=True)
+        seed_ganft("float32", smoke=True)
+        run_config("rvq8_gan_ft_speech", 0.001, "float32", smoke=True)
+        print("smoke OK")
+        return
+    os.makedirs(OUT_DIR, exist_ok=True)
+    names = args.names or list(CONFIGS)
+    for name in names:
+        out = os.path.join(OUT_DIR, f"{name}.json")
+        if os.path.exists(out) and not args.force:
+            print(f"skip {name} (final artifact exists)")
+            continue
+        if name in EXPLICIT_ONLY and not args.names:
+            print(f"skip {name} (explicit-only; run --seed-ganft then pass "
+                  "its name)")
+            continue
+        if name == "rvq8_gan_ft_speech" and not os.path.isdir(
+            os.path.join(OUT_DIR, "runs", name)
+        ):
+            print(f"skip {name} (needs --seed-ganft first)")
+            continue
+        print(f"=== {name} ({args.hours_per_config} h) ===", flush=True)
+        try:
+            run_config(name, args.hours_per_config, args.dtype)
+        except Exception as e:  # a crashed config must not kill the campaign
+            import traceback
+
+            traceback.print_exc()
+            with open(os.path.join(OUT_DIR, f"{name}.error.txt"), "w") as f:
+                f.write(traceback.format_exc())
+            print(f"[{name}] FAILED: {str(e)[:200]}", flush=True)
+    write_markdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -293,3 +293,120 @@ def transplant(torch_model: TorchCodec, flax_params: dict, n_layers_per_block=4)
             _load_res(r, bp[f"res{j}"])
     _load_conv(torch_model.dec_out, flax_params["dec_out"])
     return torch_model.double()
+
+
+# --------------------------------------------------------------------------- #
+# Discriminator mirrors (VERDICT r3 task 7): the reference adversaries
+# (networks/discriminator.py:7-197) rebuilt in torch AS PARITY FIXTURES, so
+# score/feature/hinge/feature-matching parity is checked against torch rather
+# than only self-derived formula goldens. norm="none" (architectural parity);
+# spectral norm is parity-tested separately at the single-conv level
+# (tests/test_torch_parity.py) because torch's persistent power-iteration `u`
+# is RNG-init'ed and can only be matched by transplanting the state vector.
+# --------------------------------------------------------------------------- #
+
+class TorchWaveformDiscBlock(torch.nn.Module):
+    """Mirror of models/discriminators.WaveformDiscriminatorBlock
+    (reference: networks/discriminator.py:7-56)."""
+
+    def __init__(self, in_channels=1, channel_sizes=(4, 8, 8),
+                 kernel_sizes=(15, 41, 5), strides=(1, 4, 1),
+                 groups=(1, 2, 1), scale=1):
+        super().__init__()
+        chans = [in_channels] + list(channel_sizes)
+        self.pool = torch.nn.AvgPool1d(2 * scale, stride=scale, padding=scale)
+        self.convs = torch.nn.ModuleList(
+            torch.nn.Conv1d(chans[i], chans[i + 1], kernel_sizes[i],
+                            stride=strides[i], groups=groups[i])
+            for i in range(len(channel_sizes) - 1)
+        )
+        self.conv_out = torch.nn.Conv1d(
+            chans[-2], 1, kernel_sizes[-1], stride=strides[-1],
+            groups=groups[-1],
+        )
+        self.act = torch.nn.LeakyReLU(0.2)
+
+    def forward(self, x):
+        features = []
+        x = self.pool(x)
+        features.append(x)
+        for conv in self.convs:
+            x = self.act(conv(x))
+            features.append(x)
+        x = self.conv_out(x)
+        features.append(x)
+        return torch.sigmoid(x), features
+
+
+class TorchSTFTDisc(torch.nn.Module):
+    """Mirror of models/discriminators.STFTDiscriminator
+    (reference: networks/discriminator.py:85-197)."""
+
+    def __init__(self, win_length=128, first_channel_size=4,
+                 channel_multipliers=(2, 2, 1, 2, 1, 2),
+                 strides=((1, 2), (2, 2)) * 3):
+        super().__init__()
+        self.win_length = win_length
+        self.first_conv = torch.nn.Conv2d(2, first_channel_size, 7, padding=3)
+        self.act = torch.nn.LeakyReLU(0.2)
+        blocks = []
+        c = first_channel_size
+        for mult, (sh, sw) in zip(channel_multipliers, strides):
+            conv1 = torch.nn.Conv2d(c, c, 3, padding=1)
+            conv2 = torch.nn.Conv2d(
+                c, c * mult, (sh + 2, sw + 2), stride=(sh, sw),
+                padding=((sh + 1) // 2, (sw + 1) // 2),
+            )
+            blocks.append(torch.nn.ModuleList([conv1, conv2]))
+            c = c * mult
+        self.blocks = torch.nn.ModuleList(blocks)
+        fk = win_length // (2 ** (len(channel_multipliers) + 1))
+        self.final_conv = torch.nn.Conv2d(
+            c, 1, (1, fk), padding=(0, (fk - 1) // 2)
+        )
+
+    def forward(self, x):
+        # x: (B, 1, L) -> two-sided normalized rectangular-window STFT
+        x = x.squeeze(1)
+        x = torch.stft(x, n_fft=self.win_length,
+                       hop_length=self.win_length // 4,
+                       win_length=self.win_length, normalized=True,
+                       return_complex=False, onesided=False)
+        x = x.permute(0, 3, 2, 1)  # b f t c -> b c t f
+        x = self.first_conv(x)
+        features = [x]
+        for conv1, conv2 in self.blocks:
+            x = conv2(self.act(conv1(x)))
+            features.append(x)
+        x = self.final_conv(x)
+        return [torch.sigmoid(x)], features
+
+
+def _load_conv1d_raw(tconv: torch.nn.Conv1d, p):
+    w, b = _effective_weight(p)  # (K, Cin/g, Cout)
+    tconv.weight.data = torch.from_numpy(np.ascontiguousarray(w.transpose(2, 1, 0)))
+    tconv.bias.data = torch.from_numpy(b)
+
+
+def _load_conv2d_raw(tconv: torch.nn.Conv2d, p):
+    w, b = _effective_weight(p)  # flax (kh, kw, Cin, Cout)
+    tconv.weight.data = torch.from_numpy(
+        np.ascontiguousarray(w.transpose(3, 2, 0, 1))
+    )
+    tconv.bias.data = torch.from_numpy(b)
+
+
+def transplant_waveform_block(tm: TorchWaveformDiscBlock, flax_params: dict):
+    for i, conv in enumerate(tm.convs):
+        _load_conv1d_raw(conv, flax_params[f"conv{i}"])
+    _load_conv1d_raw(tm.conv_out, flax_params["conv_out"])
+    return tm.double()
+
+
+def transplant_stft_disc(tm: TorchSTFTDisc, flax_params: dict):
+    _load_conv2d_raw(tm.first_conv, flax_params["first_conv"])
+    for i, (conv1, conv2) in enumerate(tm.blocks):
+        _load_conv2d_raw(conv1, flax_params[f"block{i}"]["conv1"])
+        _load_conv2d_raw(conv2, flax_params[f"block{i}"]["conv2"])
+    _load_conv2d_raw(tm.final_conv, flax_params["final_conv"])
+    return tm.double()
