@@ -51,9 +51,12 @@ cpu_s() {
     echo "$total"
 }
 
-queue_pid() {  # newest recorded queue-script PID
-    cat /tmp/r03_queue_relaunch.pid 2>/dev/null \
-        || cat /tmp/r03d_queue.pid 2>/dev/null || true
+queue_pid() {  # the queue script's self-written PID (each *_queue.sh writes
+    # `echo $$ > /tmp/<name>.pid` at startup — a launcher-side `echo $!`
+    # records the setsid fork parent, which exits immediately and once made
+    # this watchdog relaunch a LIVE queue into a concurrent TPU dial)
+    local base; base=$(basename "$QUEUE" .sh)
+    cat "/tmp/${base}.pid" 2>/dev/null || true
 }
 
 relaunch() {
@@ -64,7 +67,7 @@ relaunch() {
     RELAUNCH_N=$((RELAUNCH_N + 1))
     log "RELAUNCH #$RELAUNCH_N: $QUEUE ${RELAUNCH_ARGS[*]}"
     setsid nohup "$QUEUE" "${RELAUNCH_ARGS[@]}" > "$DONE_LOG" 2>&1 &
-    echo $! > /tmp/r03_queue_relaunch.pid
+    # the queue script writes its own pidfile on startup (see queue_pid)
     sleep "$COOLDOWN_S"
     rm -f "$STATE"
 }

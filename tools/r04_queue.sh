@@ -15,6 +15,10 @@
 # Usage: tools/r04_queue.sh [h1 h2 h3 h4]
 set -x
 cd "$(dirname "$0")/.."
+# the SCRIPT writes its own pid: `setsid ... &` forks, so a launcher-side
+# `echo $!` records the wrong pid and the watchdog relaunches a live queue
+# (observed 02:34 this round — two concurrent TPU dials)
+echo $$ > /tmp/r04_queue.pid
 
 H1="${1:-2.6}"   # rvq8_speech
 H2="${2:-1.5}"   # rvq8_gan_ft_speech
