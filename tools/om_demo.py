@@ -31,7 +31,16 @@ def main():
     name = argv[0] if len(argv) > 0 else "rvq8_gan_hifi"
     wav_path = argv[1] if len(argv) > 1 else "/root/reference/networks/om.wav"
 
-    from tools.quality_r03 import CONFIGS  # same config/ckpt layout
+    # round-4 configs live in quality_r04 (same config/ckpt layout); pick
+    # the registry that knows `name`, and write next to its campaign
+    global OUT_DIR
+    from tools import quality_r03, quality_r04
+
+    if name in quality_r03.CONFIGS:
+        CONFIGS = quality_r03.CONFIGS
+    else:
+        CONFIGS = quality_r04.CONFIGS
+        OUT_DIR = quality_r04.OUT_DIR
 
     from audio_generation_tpu.config import ExperimentConfig
     from audio_generation_tpu.data.wavio import read_wav, write_wav
