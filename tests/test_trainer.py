@@ -457,3 +457,31 @@ def test_params_npz_snapshot_roundtrip(tmp_path, rng):
     )
     np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+def test_save_state_force_replaces_mutated_state(tmp_path, rng, tiny_dataset):
+    """ADVICE r3: save_state silently dropped a save when a checkpoint
+    already existed at the current step (e.g. after a params transplant onto
+    a fresh trainer). force=True must replace it; the default skip logs."""
+    from audio_generation_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(tmp_path, gan=False)
+    tr = Trainer(cfg, dataset=tiny_dataset)
+    tr.save_state()  # step-0 checkpoint
+    step0 = tr.ckpt.latest_step()
+    assert step0 == 0
+
+    # transplant-like mutation at the SAME step
+    mutated = jax.tree_util.tree_map(lambda a: a + 1.0, tr.state.params)
+    tr.state = tr.state.replace(params=mutated)
+    tr.save_state()  # default: skipped (logged), on-disk state unchanged
+    restored = tr.ckpt.restore_latest(tr.state)
+    a0 = jax.tree_util.tree_leaves(restored[0].params)[0]
+    m0 = jax.tree_util.tree_leaves(mutated)[0]
+    assert not np.allclose(np.asarray(a0), np.asarray(m0))
+
+    tr.save_state(force=True)  # replace in place
+    restored = tr.ckpt.restore_latest(tr.state)
+    assert tr.ckpt.latest_step() == 0
+    a1 = jax.tree_util.tree_leaves(restored[0].params)[0]
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(m0))
