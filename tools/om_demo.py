@@ -31,16 +31,17 @@ def main():
     name = argv[0] if len(argv) > 0 else "rvq8_gan_hifi"
     wav_path = argv[1] if len(argv) > 1 else "/root/reference/networks/om.wav"
 
-    # round-4 configs live in quality_r04 (same config/ckpt layout); pick
-    # the registry that knows `name`, and write next to its campaign
+    # round-4 configs live in quality_r04 (same config/ckpt layout); prefer
+    # the r04 registry — the rvq8_speech pair is registered in BOTH (it was
+    # staged in quality_r03 for round 4), and the trained run dirs are r04's
     global OUT_DIR
     from tools import quality_r03, quality_r04
 
-    if name in quality_r03.CONFIGS:
-        CONFIGS = quality_r03.CONFIGS
-    else:
+    if name in quality_r04.CONFIGS:
         CONFIGS = quality_r04.CONFIGS
         OUT_DIR = quality_r04.OUT_DIR
+    else:
+        CONFIGS = quality_r03.CONFIGS
 
     from audio_generation_tpu.config import ExperimentConfig
     from audio_generation_tpu.data.wavio import read_wav, write_wav
