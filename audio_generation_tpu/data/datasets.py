@@ -253,11 +253,13 @@ class PseudoSpeech:
             out[s : s + win] += shaped[fi]
         return out[:n]
 
-    def __getitem__(self, n: int) -> Tuple[np.ndarray, int, Dict[str, str]]:
-        if self._cache is not None and n in self._cache:
-            return self._cache[n], self.sample_rate, {"kind": "pseudo_speech"}
+    def _synth(self, n: int):
+        """Full synthesis for item `n` -> (x, f0_base, segs, clean) where
+        `clean` is the pre-room-noise signal under the SAME normalization as
+        `x` (identical rng stream and arithmetic as always — cached corpora
+        and goldens are unchanged)."""
         rng = np.random.default_rng(self.seed * 100003 + 7919 * n + 1)
-        sr, N = self.sample_rate, self.length
+        N = self.length
         f0_base = rng.uniform(85, 240)
         scale = rng.uniform(0.88, 1.18)  # vocal-tract length factor
 
@@ -278,12 +280,42 @@ class PseudoSpeech:
             elif kind == 1:
                 src[s:e] = noise[s:e] * 0.12
                 env[s:e] = attack * rng.uniform(0.4, 0.8)
-        x = self._formant_filter(rng, src * env, segs, scale)
-        x = x + rng.normal(0, 0.0015, N)  # room noise floor
-        x = (x / (np.abs(x).max() + 1e-6) * 0.7).astype(np.float32)
+        clean = self._formant_filter(rng, src * env, segs, scale)
+        x = clean + rng.normal(0, 0.0015, N)  # room noise floor
+        denom = np.abs(x).max() + 1e-6
+        clean = (clean / denom * 0.7).astype(np.float32)
+        x = (x / denom * 0.7).astype(np.float32)
+        return x, f0_base, segs, clean
+
+    def __getitem__(self, n: int) -> Tuple[np.ndarray, int, Dict[str, str]]:
+        if self._cache is not None and n in self._cache:
+            return self._cache[n], self.sample_rate, {"kind": "pseudo_speech"}
+        x, f0_base, _, _ = self._synth(n)
         if self._cache is not None:
             self._cache[n] = x[None, :]
-        return x[None, :], sr, {"f0": f"{f0_base:.1f}", "kind": "pseudo_speech"}
+        return (x[None, :], self.sample_rate,
+                {"f0": f"{f0_base:.1f}", "kind": "pseudo_speech"})
+
+    def item_diagnostics(self, n: int) -> Dict[str, np.ndarray]:
+        """Ground truth the synthesizer knows but a codec cannot: per-sample
+        voicing kind and the clean (no room-noise) signal.
+
+        Returns {"x": item waveform, "clean": x minus the additive room
+        noise floor (same normalization), "mask": int8 per sample — 0 voiced,
+        1 unvoiced (stochastic frication: shaped white noise), 2 pause}.
+
+        Why: waveform-matching metrics (SI-SDR/SNR) are FLOORED on this data
+        for any codec that does not transmit the literal noise waveform —
+        the unvoiced syllables (~25% of time) and the room floor are fresh
+        i.i.d. draws per item. Masked SI-SDR over voiced samples and the
+        clean-signal oracle bound (SI-SDR of `clean` as an estimate of `x`)
+        are the honest references; tools/diag_pseudospeech.py reports both.
+        """
+        x, _, segs, clean = self._synth(n)
+        mask = np.full(self.length, 2, dtype=np.int8)
+        for s, e, kind in segs:
+            mask[s:e] = kind
+        return {"x": x, "clean": clean, "mask": mask}
 
 
 def overtones(length: int, freq: float, n_overtones: int = 5, sample_rate: int = 16000, peak: float = 0.125):

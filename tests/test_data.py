@@ -296,3 +296,29 @@ def test_pseudo_speech_is_broadband():
     spec = np.abs(np.fft.rfft(x[0])) ** 2
     freqs = np.fft.rfftfreq(x.shape[1], 1 / sr)
     assert spec[freqs > 1000].sum() / spec.sum() > 0.05
+
+
+def test_pseudo_speech_item_diagnostics():
+    """item_diagnostics exposes the synthesizer's ground truth for metric
+    diagnostics (tools/diag_pseudospeech.py): per-sample voicing kind and the
+    clean pre-room-noise signal, under the item's exact normalization."""
+    from audio_generation_tpu.data.datasets import PseudoSpeech
+
+    ds = PseudoSpeech(length=36000, n_items=4, seed=1234)
+    d = ds.item_diagnostics(1)
+    x, _, _ = ds[1]
+    np.testing.assert_array_equal(d["x"], x[0])  # same item, bit-exact
+    assert d["mask"].shape == (36000,) and d["mask"].dtype == np.int8
+    assert set(np.unique(d["mask"])) <= {0, 1, 2}
+    # the residual x - clean is the i.i.d. room-noise floor: small and flat
+    resid = d["x"] - d["clean"]
+    assert 0 < resid.std() < 0.05
+    # pauses carry (almost) no clean signal energy vs voiced segments (OLA
+    # smears 20 ms across boundaries, so compare energies, not exact zeros)
+    voiced_rms = np.sqrt(np.mean(d["clean"][d["mask"] == 0] ** 2))
+    if (d["mask"] == 2).any():
+        pause_rms = np.sqrt(np.mean(d["clean"][d["mask"] == 2] ** 2))
+        assert pause_rms < 0.5 * voiced_rms
+    # caching returns the same array values
+    dsc = PseudoSpeech(length=36000, n_items=4, seed=1234, cache=True)
+    np.testing.assert_array_equal(dsc[1][0], x)

@@ -485,3 +485,38 @@ def test_save_state_force_replaces_mutated_state(tmp_path, rng, tiny_dataset):
     assert tr.ckpt.latest_step() == 0
     a1 = jax.tree_util.tree_leaves(restored[0].params)[0]
     np.testing.assert_array_equal(np.asarray(a1), np.asarray(m0))
+
+
+def test_restore_trainer_from_snapshot(tmp_path, tiny_dataset):
+    """tools/quality_r04.restore_trainer_from_snapshot: a committed npz
+    snapshot repopulates a trainer whose Orbax run dir was wiped (the VM-
+    reset recovery path used by seed_ganft and om_demo)."""
+    import shutil
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.quality_r04 import restore_trainer_from_snapshot
+
+    from audio_generation_tpu.train.checkpoint import save_params_npz
+    from audio_generation_tpu.train.trainer import Trainer
+
+    cfg = tiny_config(tmp_path, gan=False)
+    tr = Trainer(cfg, dataset=tiny_dataset)
+    # fabricate a "trained" snapshot: shifted params, step 77
+    shifted = jax.tree_util.tree_map(
+        lambda a: np.asarray(a) + 0.5, jax.device_get(tr.state.params)
+    )
+    os.makedirs("/tmp/r04_smoke", exist_ok=True)
+    snap = "/tmp/r04_smoke/resttest.npz"
+    save_params_npz(snap, shifted, jax.device_get(tr.state.codebook),
+                    {"step": 77})
+    try:
+        step = restore_trainer_from_snapshot(tr, "resttest", smoke=True)
+        assert step == 77
+        got = jax.tree_util.tree_leaves(tr.state.params)[0]
+        want = jax.tree_util.tree_leaves(shifted)[0]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+        # missing snapshot -> 0, trainer untouched
+        assert restore_trainer_from_snapshot(tr, "no_such_cfg", smoke=True) == 0
+    finally:
+        os.remove(snap)

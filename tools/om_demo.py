@@ -63,6 +63,13 @@ def main():
     )
     trainer = Trainer(cfg)
     step = int(trainer.state.step)
+    if step == 0 and name in quality_r04.CONFIGS:
+        # the Orbax run dir lives outside git and VM resets wipe it; the
+        # committed artifacts/ckpt/<name>.npz snapshot is the durable copy
+        step = quality_r04.restore_trainer_from_snapshot(trainer, name)
+    if step == 0:
+        sys.exit(f"{name} has no trained checkpoint or snapshot — refusing "
+                 "to demo an untrained model")
     print(f"loaded {name} at step {step}")
 
     x, sr = read_wav(wav_path)

@@ -209,6 +209,34 @@ def snapshot(trainer, name: str, smoke=False):
     print(f"[{name}] snapshot -> {out} ({size/1e6:.1f} MB)", flush=True)
 
 
+def restore_trainer_from_snapshot(trainer, name: str, smoke=False) -> int:
+    """Transplant the committed npz snapshot (artifacts/ckpt/<name>.npz)
+    into a trainer whose Orbax run dir was wiped (VM reset). Returns the
+    snapshot's training step, or 0 if no snapshot exists. f16->f32 param
+    rounding (~1e-3 rel) is irrelevant for eval/fine-tune seeding; codebooks
+    are stored f32 and load bit-exact."""
+    import jax
+
+    from audio_generation_tpu.train.checkpoint import load_params_npz
+
+    snap = os.path.join("/tmp/r04_smoke" if smoke else SNAP_DIR, f"{name}.npz")
+    if not os.path.exists(snap):
+        return 0
+    params, codebook, meta = load_params_npz(snap)
+    step = int(meta.get("step", 0))
+
+    def paths(tree):
+        return sorted(
+            str(p) for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+        )
+
+    if paths(params) != paths(jax.device_get(trainer.state.params)):
+        raise ValueError(f"snapshot {snap} param tree != trainer tree")
+    trainer.state = trainer.state.replace(params=params, codebook=codebook)
+    print(f"[snapshot] {name} restored from {snap} (step {step})", flush=True)
+    return step
+
+
 def seed_ganft(dtype: str, smoke=False):
     """Transplant the trained rvq8_speech generator into a step-0
     rvq8_gan_ft_speech checkpoint (fresh discriminators + optimizers; the
@@ -224,8 +252,14 @@ def seed_ganft(dtype: str, smoke=False):
 
     donor = make_trainer(GANFT_DONOR, dtype, smoke)
     donor_step = int(donor.state.step)
-    if donor_step == 0 and not smoke:
-        sys.exit(f"donor {GANFT_DONOR} has no trained checkpoint yet")
+    if donor_step == 0:
+        # The donor's Orbax run dir is NOT committed (only final jsons/wavs
+        # are); a VM reset between queue phases wipes it. Fall back to the
+        # committed npz snapshot — exactly the durability it exists for.
+        donor_step = restore_trainer_from_snapshot(donor, GANFT_DONOR, smoke)
+        if donor_step == 0:
+            sys.exit(f"donor {GANFT_DONOR} has no trained checkpoint or "
+                     "snapshot")
     donor_params = jax.device_get(donor.state.params)
     donor_codebook = jax.device_get(donor.state.codebook)
     donor.ckpt.close()
@@ -359,6 +393,23 @@ def write_markdown():
         "eff. kbps | stale % |",
         "|---|---|---|---|---|---|---|---|---|",
     ]
+    diag_p = "DIAG_PSEUDOSPEECH_r04.json"
+    if os.path.exists(diag_p):
+        with open(diag_p) as f:
+            dg = json.load(f)["summary"]["median_si_sdr_db"]
+        diag_note = (
+            "**Why SI-SDR is so low while mel/MCD/STOI* converge** "
+            "(`tools/diag_pseudospeech.py`, masked by the synthesizer's own "
+            "voicing ground truth → `DIAG_PSEUDOSPEECH_r04.json`): the room-"
+            "noise floor + i.i.d. unvoiced frication cap any codec at "
+            f"{dg['oracle_clean']['overall']:+.1f} dB overall "
+            f"({dg['oracle_clean']['voiced']:+.1f} dB voiced-masked) — and the "
+            f"flagship sits at {dg['codec']['voiced']:+.1f} dB voiced-masked "
+            "(~-29 dB even allowing a free global time shift): it matches the "
+            "spectral envelope but not instantaneous phase on formant-glide "
+            "material at this budget. Waveform columns under-rank all rows "
+            "equally; the perceptual columns carry the comparison."
+        )
     for r in rows:
         a = r["after"]
         eff = a.get("effective_bitrate_bps")
@@ -370,6 +421,8 @@ def write_markdown():
             f"{'' if eff is None else f'{eff/1000:.2f}'} | "
             f"{'' if stale is None else f'{100*stale:.1f}'} |"
         )
+    if os.path.exists(diag_p):
+        lines += ["", diag_note]
     lines += [
         "",
         "*STOI: uncalibrated intelligibility proxy (evaluate.stoi_proxy), "
