@@ -225,3 +225,30 @@ def test_corrupt_header_bounds(rng):
     zs[: _HEADER.size] = _HEADER.pack(magic, ver, nq, flags, sr, 0, T, orig)
     with pytest.raises(ValueError, match="stride"):
         read_bitstream(bytes(zs))
+
+
+def test_codec_cli_snapshot_loading(codec, rng, tmp_path):
+    """codec_cli --snapshot: a committed npz (save_params_npz + embedded
+    vae_args/sample_rate meta) reconstructs the SAME codec with no YAML or
+    Orbax run dir — indices bit-match the direct-model path. This is the
+    VM-reset-durable product path (artifacts/ckpt/*.npz)."""
+    import argparse
+
+    from audio_generation_tpu.train.checkpoint import save_params_npz
+    from tools.codec_cli import _load_model, encode_array
+
+    model, variables = codec
+    snap = str(tmp_path / "small.npz")
+    save_params_npz(
+        snap,
+        jax.device_get(variables["params"]),
+        jax.device_get(variables["codebook"]),
+        {"config": "small", "step": 5, "vae_args": SMALL, "sample_rate": 24000},
+    )
+    m2, v2, sr = _load_model(argparse.Namespace(snapshot=snap, yaml=None))
+    assert sr == 24000
+
+    wave = (rng.normal(size=24 * 40) * 0.3).astype(np.float32)
+    idx1, _ = encode_array(model, variables, wave, sr, chunk_frames=10)
+    idx2, _ = encode_array(m2, v2, wave, sr, chunk_frames=10)
+    np.testing.assert_array_equal(idx1, idx2)

@@ -144,6 +144,45 @@ def _load_trained(yaml_path: str):
     return trainer.model, trainer._variables(), cfg.sample_rate
 
 
+def _load_snapshot(npz_path: str):
+    """Model + variables from a committed npz snapshot (artifacts/ckpt/
+    <name>.npz, train/checkpoint.save_params_npz). The snapshot embeds its
+    own vae_args/sample_rate, so no YAML or Orbax run dir is needed — this
+    is the VM-reset-durable product path (the Orbax dirs live outside git
+    and have been wiped twice; the committed snapshots are what survives)."""
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.models.vae import model_from_config
+    from audio_generation_tpu.train.checkpoint import load_params_npz
+
+    params, codebook, meta = load_params_npz(npz_path)
+    if "vae_args" not in meta or "sample_rate" not in meta:
+        sys.exit(f"{npz_path} has no embedded vae_args/sample_rate meta — "
+                 "re-snapshot with tools/quality_r04.snapshot or use --yaml")
+    vae_args = dict(meta["vae_args"])
+    vae_args["compute_dtype"] = "float32"  # file coding is f32 (see _f32)
+    cfg = ExperimentConfig.from_dict({
+        "experiment_name": str(meta.get("config", "snapshot")),
+        "dataset": "synthetic",
+        "sample_rate": int(meta["sample_rate"]),
+        "save_path_root": "/tmp/codec_cli/",
+        "vae_args": vae_args,
+    })
+    model = model_from_config(cfg.vae)
+    step = int(meta.get("step", 0))
+    if step == 0:
+        print("warning: snapshot carries step 0 — UNTRAINED weights")
+    else:
+        print(f"loaded snapshot {npz_path} at step {step}")
+    return model, {"params": params, "codebook": codebook}, cfg.sample_rate
+
+
+def _load_model(args):
+    """--snapshot (npz) takes precedence over --yaml (Orbax discovery)."""
+    if getattr(args, "snapshot", None):
+        return _load_snapshot(args.snapshot)
+    return _load_trained(args.yaml)
+
+
 def _read_input(path: str, target_sr: int) -> np.ndarray:
     from audio_generation_tpu.data.flacio import read_audio
     from audio_generation_tpu.ops.signal import resample
@@ -159,7 +198,7 @@ def _read_input(path: str, target_sr: int) -> np.ndarray:
 def cmd_encode(args):
     from audio_generation_tpu.bitstream import write_bitstream
 
-    model, variables, sr = _load_trained(args.yaml)
+    model, variables, sr = _load_model(args)
     wave = _read_input(args.input, sr)
     idx, meta = encode_array(
         model, variables, wave, sr,
@@ -179,7 +218,7 @@ def cmd_decode(args):
     from audio_generation_tpu.data.wavio import write_wav
 
     idx, meta = read_bitstream(args.input, max_levels=args.levels)
-    model, variables, sr = _load_trained(args.yaml)
+    model, variables, sr = _load_model(args)
     if sr != meta.sample_rate:
         print(
             f"warning: model rate {sr} != bitstream rate {meta.sample_rate}; "
@@ -224,6 +263,10 @@ def main(argv=None):
         if model:
             sp.add_argument("--yaml", default="config/training.yml",
                             help="training YAML naming the experiment/checkpoint")
+            sp.add_argument("--snapshot", default=None,
+                            help="committed npz snapshot (artifacts/ckpt/"
+                                 "<name>.npz) — overrides --yaml; no run "
+                                 "dir needed")
             sp.add_argument("--levels", type=int, default=None,
                             help="use only the first N RVQ levels (lower bitrate)")
             sp.add_argument("--stream", action="store_true",
