@@ -507,6 +507,20 @@ class ResidualQuantizer:
             out[q] = float(np.exp(-(nz * np.log(nz)).sum()))
         return out
 
+    def entropy_priors(self, state: QuantizerState) -> list:
+        """Per-level integer frequency tables for entropy-coded bitstreams
+        (entropy.py): the codebook-usage EMA quantized deterministically, so
+        an encoder and a decoder holding the same snapshot derive identical
+        range-coder seeds with no table shipped in the file. Returns one
+        (codebook_sizes[q],) int64 array per level."""
+        from audio_generation_tpu.entropy import quantize_priors
+
+        usage = np.asarray(state.usage, dtype=np.float64)
+        return [
+            quantize_priors(usage[q, : self.codebook_sizes[q]])
+            for q in range(self.num_quantizers)
+        ]
+
     def get_stale_clusters(self, state: QuantizerState):
         """Per-quantizer count of codebook entries with (EMA) usage below
         threshold (reference API: networks/training.py:435,461)."""

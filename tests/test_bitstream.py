@@ -252,3 +252,108 @@ def test_codec_cli_snapshot_loading(codec, rng, tmp_path):
     idx1, _ = encode_array(model, variables, wave, sr, chunk_frames=10)
     idx2, _ = encode_array(m2, v2, wave, sr, chunk_frames=10)
     np.testing.assert_array_equal(idx1, idx2)
+
+
+# --------------------------------------------------------------------------- #
+# Entropy-coded payload (FLAG_ENTROPY)
+# --------------------------------------------------------------------------- #
+def _skewed_priors(rng, sizes):
+    from audio_generation_tpu.entropy import quantize_priors
+
+    return [quantize_priors(rng.gamma(0.3, size=s)) for s in sizes]
+
+
+def test_entropy_roundtrip_exact(rng):
+    idx = _random_indices(rng, 337, SIZES)
+    pri = _skewed_priors(rng, SIZES)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, SIZES, 24000, 480, 161000, entropy_priors=pri)
+    got, meta = read_bitstream(buf.getvalue(), entropy_priors=pri)
+    np.testing.assert_array_equal(got, idx)
+    assert meta.entropy_coded
+    assert meta.coded_bytes > 0
+    assert meta.coded_bitrate_bps == pytest.approx(
+        8 * meta.coded_bytes * 24000 / (337 * 480)
+    )
+
+
+def test_entropy_smaller_for_skewed_data(rng):
+    """In-domain skewed indices: the entropy payload undercuts the packed
+    payload — the effective-bitrate story made real."""
+    from audio_generation_tpu.entropy import quantize_priors
+
+    T, S = 2000, 1024
+    counts = rng.gamma(0.2, size=S)
+    p = counts / counts.sum()
+    idx = rng.choice(S, size=(T, 2), p=p).astype(np.int32)
+    pri = [quantize_priors(counts)] * 2
+    packed, coded = io.BytesIO(), io.BytesIO()
+    write_bitstream(packed, idx, (S, S), 24000, 480, T * 480)
+    write_bitstream(coded, idx, (S, S), 24000, 480, T * 480, entropy_priors=pri)
+    assert len(coded.getvalue()) < 0.9 * len(packed.getvalue())
+
+
+def test_entropy_level_truncation(rng):
+    idx = _random_indices(rng, 64, SIZES)
+    pri = _skewed_priors(rng, SIZES)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, SIZES, 16000, 480, 30000, entropy_priors=pri)
+    got, meta = read_bitstream(buf.getvalue(), max_levels=2, entropy_priors=pri)
+    np.testing.assert_array_equal(got, idx[:, :2])
+    assert meta.codebook_sizes == SIZES[:2]
+    assert meta.entropy_coded
+
+
+def test_entropy_priors_guard(rng):
+    """Missing or mismatched priors fail loudly (never garbage audio)."""
+    idx = _random_indices(rng, 50, SIZES)
+    pri = _skewed_priors(rng, SIZES)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, SIZES, 16000, 480, 24000, entropy_priors=pri)
+    with pytest.raises(ValueError, match="needs the encoder's model priors"):
+        read_bitstream(buf.getvalue())
+    wrong = [p.copy() for p in pri]
+    wrong[1][7] += 1
+    with pytest.raises(ValueError, match="different model snapshot"):
+        read_bitstream(buf.getvalue(), entropy_priors=wrong)
+
+
+def test_read_header_both_modes(rng):
+    from audio_generation_tpu.bitstream import read_header
+
+    idx = _random_indices(rng, 64, SIZES)
+    pri = _skewed_priors(rng, SIZES)
+    packed, coded = io.BytesIO(), io.BytesIO()
+    write_bitstream(packed, idx, SIZES, 16000, 480, 30000)
+    write_bitstream(coded, idx, SIZES, 16000, 480, 30000, entropy_priors=pri)
+    hp = read_header(packed.getvalue())
+    hc = read_header(coded.getvalue())  # no priors needed for the header
+    assert not hp.entropy_coded and hc.entropy_coded
+    assert hp.codebook_sizes == hc.codebook_sizes == SIZES
+    assert hp.num_frames == hc.num_frames == 64
+    # coded_bytes + header + crc + 4 per-level length words = file size
+    assert 32 + 4 * len(SIZES) + 4 + 4 * len(SIZES) + hc.coded_bytes == len(
+        coded.getvalue()
+    )
+    with pytest.raises(ValueError, match="level length"):
+        read_header(coded.getvalue()[: 32 + 4 * len(SIZES) + 6])
+
+
+def test_entropy_codec_end_to_end(codec, rng):
+    """Model-derived priors (quantizer.entropy_priors of the checkpoint's
+    usage EMA): encode -> decode bit-matches and reconstructs the same
+    waveform as the packed stream."""
+    from tools.codec_cli import decode_array, encode_array
+
+    model, variables = codec
+    qstate = variables["codebook"]["state"]
+    pri = model.quantizer.entropy_priors(qstate)
+    wave = (rng.normal(size=24 * 40) * 0.3).astype(np.float32)
+    idx, meta = encode_array(model, variables, wave, 24000, chunk_frames=10)
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, **meta, entropy_priors=pri)
+    got, _ = read_bitstream(buf.getvalue(), entropy_priors=pri)
+    np.testing.assert_array_equal(got, idx)
+    y = decode_array(model, variables, got, meta["original_length"],
+                     chunk_frames=10)
+    assert y.shape == wave.shape
