@@ -273,4 +273,20 @@ def evaluate_codec(model, variables, waves: np.ndarray, sample_rate: int, codebo
         out["effective_bitrate_bps"] = float(
             np.sum(np.log2(np.maximum(perp, 1.0))) * sample_rate / stride
         )
+        # ACTUAL coded rate: range-code this batch's indices against the
+        # checkpoint's usage priors (exactly what `codec_cli encode
+        # --entropy` ships), so the effective-rate estimate above is backed
+        # by real bytes on real eval audio. Skipped under codebook_n
+        # truncation (deep indices are emitted but not transmitted there).
+        if codebook_n is None:
+            from audio_generation_tpu import entropy as _entropy
+
+            priors = model.quantizer.entropy_priors(qstate)
+            idx_np = np.asarray(indices)
+            nbytes = sum(
+                len(_entropy.encode_level(idx_np[..., q].reshape(-1), priors[q]))
+                for q in range(idx_np.shape[-1])
+            )
+            seconds = idx_np.shape[0] * idx_np.shape[1] * stride / sample_rate
+            out["coded_bitrate_bps"] = 8.0 * nbytes / seconds
     return out

@@ -80,11 +80,17 @@ def test_evaluate_codec(rng):
     assert set(metrics) == {
         "snr_db", "si_sdr_db", "mel_l1", "spectral_convergence",
         "log_stft_l1", "mcd_db", "stoi_proxy", "bitrate_bps", "latent_fps",
-        "effective_bitrate_bps",
+        "effective_bitrate_bps", "coded_bitrate_bps",
     }
     assert metrics["effective_bitrate_bps"] <= metrics["bitrate_bps"] + 1e-6
+    # real range-coded bytes: positive, and bounded by nominal + coder
+    # overhead (a few bytes/level is large relative to this 10-frame batch)
+    assert 0 < metrics["coded_bitrate_bps"] < 4 * metrics["bitrate_bps"]
     assert metrics["latent_fps"] == 4000.0
     assert np.isfinite(metrics["snr_db"])
+    # codebook_n truncation: deep levels aren't transmitted -> no coded rate
+    truncated = evaluate_codec(model, variables, waves, 24000, codebook_n=1)
+    assert "coded_bitrate_bps" not in truncated
 
 
 def test_mcd_zero_for_identical_and_monotone(rng):
