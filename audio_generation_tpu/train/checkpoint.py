@@ -77,12 +77,12 @@ def load_params_npz(path: str):
         if arr.dtype == np.float16:
             arr = arr.astype(np.float32)
         if parts[0] == "codebook" and len(parts) == 3 and parts[1] == "state":
-            qstate_fields[parts[2]] = data[name]
+            qstate_fields[parts[2]] = arr
             continue
         node = root
         for p in parts[1:-1]:
             node = node.setdefault(p, {})
-        node[parts[-1]] = data[name]
+        node[parts[-1]] = arr
     if qstate_fields:
         from audio_generation_tpu.models.quantizer import QuantizerState
 

@@ -299,6 +299,7 @@ class StepBuilder:
 
             mean_metrics = {k: jnp.mean(v) for k, v in metrics.items()}
             mean_metrics["grad_norm"] = optax.global_norm(g_grad_sum)
+            mean_metrics["update_norm"] = optax.global_norm(updates)
             mean_metrics["nan_flag"] = jnp.any(
                 ~jnp.isfinite(metrics["generator_total"])
             ).astype(jnp.float32)

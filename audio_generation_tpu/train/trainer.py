@@ -384,8 +384,8 @@ class Trainer:
             if losses is not None:
                 losses.append(total)
             for name, value in metrics.items():
-                if name == "grad_norm":  # diagnostic, not a loss — it would
-                    continue             # inflate the breakdown percentages
+                if name in ("grad_norm", "update_norm"):  # diagnostics, not
+                    continue  # losses — they would inflate the breakdown %s
                 group = "discriminator" if name.endswith("_loss") and "_g_loss" not in name and name.split("_loss")[0] in self.disc_names else "generator"
                 self.update_loss_breakdown(float(value), name, group)
 

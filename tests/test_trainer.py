@@ -459,6 +459,46 @@ def test_params_npz_snapshot_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
 
 
+def test_params_npz_f16_loads_as_f32(tmp_path):
+    """Regression: params_dtype='float16' snapshots must load back as
+    float32. load_params_npz computed the upcast but stored the raw f16
+    array — training on a transplanted snapshot then ran the optimizer in
+    f16 and diverged within 2 steps (caught by the ganft sweep smoke)."""
+    import jax
+    import jax.numpy as jnp
+    from audio_generation_tpu.models import CausalVQAE
+    from audio_generation_tpu.train.checkpoint import (
+        load_params_npz, save_params_npz,
+    )
+
+    model = CausalVQAE(
+        in_channels=1, n_blocks=2, n_layers_per_block=2,
+        first_block_channels=4, num_quantizers=2, codebook_size=16,
+        codebook_dim=8, strides=(2, 3), wavelet_decoders=(False, False),
+        use_som=False, vq_type="ema",
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 60, 1)))
+    p = str(tmp_path / "snap16.npz")
+    save_params_npz(p, variables["params"], variables["codebook"],
+                    {"step": 7}, params_dtype="float16")
+    params, codebook, _ = load_params_npz(p)
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        assert leaf.dtype == np.float32, f"{jax.tree_util.keystr(path)} " \
+            f"loaded as {leaf.dtype}"
+    for path, leaf in jax.tree_util.tree_flatten_with_path(codebook)[0]:
+        assert leaf.dtype != np.float16, jax.tree_util.keystr(path)
+    # and the f16 rounding is the only delta vs the f32 originals
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_flatten_with_path(variables["params"])[0],
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_flatten_with_path(params)[0],
+               key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_array_equal(
+            np.asarray(a).astype(np.float16).astype(np.float32), np.asarray(b)
+        )
+
+
 def test_save_state_force_replaces_mutated_state(tmp_path, rng, tiny_dataset):
     """ADVICE r3: save_state silently dropped a save when a checkpoint
     already existed at the current step (e.g. after a params transplant onto

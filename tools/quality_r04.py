@@ -528,6 +528,54 @@ def write_markdown():
         ]
         k += 1
 
+    sweep_p = "GANFT_SWEEP_r04.json"
+    if os.path.exists(sweep_p):
+        with open(sweep_p) as f:
+            sw = json.load(f)
+        if sw.get("variants"):
+            lines += [
+                "## Adversarial-balance sweep (tools/ganft_sweep.py)",
+                "",
+                f"Short (~{sw['minutes_per_variant']:.0f} min) GAN fine-tunes "
+                "of a trained donor across feature_multiplier, single "
+                "full-size STFT-1024 adversary, equal G/D LR 2e-4 — the "
+                "tuned-balance test VERDICT r3 task 3 asked for. `fm*_long*` "
+                "= budgeted run of the sweep winner; `energy_*` rows "
+                "(tools/energy_ganft.py) fine-tune the ENERGY flagship (the "
+                "donor that is NOT phase-floored on this data). Donor rows = "
+                "each donor at seeding.",
+                "",
+                "| variant | donor | fm | min | steps | SI-SDR dB | mel-L1 | MCD dB | STOI* |",
+                "|---|---|---|---|---|---|---|---|---|",
+            ]
+            donors = []
+            for v in sw["variants"]:
+                dn = v.get("donor", GANFT_DONOR)
+                if dn not in donors:
+                    donors.append(dn)
+            for dn in donors:
+                dp = os.path.join(OUT_DIR, f"{dn}.json")
+                d = (json.load(open(dp))["after"] if os.path.exists(dp)
+                     else (sw.get("donor_after") or {}))
+                if d:
+                    lines.append(
+                        f"| donor (no GAN) | {dn} | — | — | — | "
+                        f"{d['si_sdr_db']:+.2f} | {d['mel_l1']:.3f} | "
+                        f"{d['mcd_db']:.2f} | {d['stoi_proxy']:.3f} |"
+                    )
+            for v in sw["variants"]:
+                a = v["after"]
+                fm = v["feature_multiplier"]
+                fm_s = "no GAN" if fm is None else f"{fm:g}"
+                lines.append(
+                    f"| {v['tag']} | {v.get('donor', GANFT_DONOR)} | "
+                    f"{fm_s} | "
+                    f"{v['train_minutes']:.0f} | {v['steps']} | "
+                    f"{a['si_sdr_db']:+.2f} | {a['mel_l1']:.3f} | "
+                    f"{a['mcd_db']:.2f} | {a['stoi_proxy']:.3f} |"
+                )
+            lines.append("")
+
     with open("QUALITY_r04.md", "w") as f:
         f.write("\n".join(lines) + "\n")
     print("wrote QUALITY_r04.md")
