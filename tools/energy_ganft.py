@@ -67,7 +67,8 @@ def make_trainer(fm: float | None, smoke=False):
     root = "/tmp/energy_ganft_smoke/" if smoke else "/tmp/energy_ganft/"
     cfg = ExperimentConfig.from_dict(
         {
-            "experiment_name": f"energy_ganft_fm{fm:g}",
+            "experiment_name": ("energy_ganft_nogan" if fm is None
+                                else f"energy_ganft_fm{fm:g}"),
             "dataset": q.DATASET,
             "sample_rate": q.SR,
             "scratch_train": True,  # /tmp run dir; donor snapshot seeds it
