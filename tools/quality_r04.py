@@ -575,6 +575,43 @@ def write_markdown():
                     f"{a['mcd_db']:.2f} | {a['stoi_proxy']:.3f} |"
                 )
             lines.append("")
+            # GAN-vs-control verdicts: within each (donor, duration bucket)
+            # group that has a no-GAN control, compare the best GAN row
+            # against the control — continued-training gains are credited to
+            # the control, so only the residual is adversarial.
+            groups: dict = {}
+            for v in sw["variants"]:
+                key = (v.get("donor", GANFT_DONOR),
+                       int(round(v["train_minutes"] / 15.0)))
+                groups.setdefault(key, []).append(v)
+            verdicts = []
+            for (dn, _), vs in sorted(groups.items()):
+                ctrl = [v for v in vs if v["feature_multiplier"] is None]
+                gans = [v for v in vs if v["feature_multiplier"] is not None]
+                if not ctrl or not gans:
+                    continue
+                c = ctrl[0]["after"]
+                g = max(gans, key=lambda v: v["after"]["stoi_proxy"])
+                ga = g["after"]
+                wins = [m for m, better in (
+                    ("STOI*", ga["stoi_proxy"] > c["stoi_proxy"]),
+                    ("mel-L1", ga["mel_l1"] < c["mel_l1"]),
+                    ("MCD", ga["mcd_db"] < c["mcd_db"]),
+                ) if better]
+                verdicts.append(
+                    f"- **{dn} @ ~{g['train_minutes']:.0f} min**: best GAN "
+                    f"row `{g['tag']}` vs matched no-GAN control "
+                    f"`{ctrl[0]['tag']}` — STOI* {ga['stoi_proxy']:.3f} vs "
+                    f"{c['stoi_proxy']:.3f}, mel {ga['mel_l1']:.3f} vs "
+                    f"{c['mel_l1']:.3f}, MCD {ga['mcd_db']:.2f} vs "
+                    f"{c['mcd_db']:.2f} → GAN ahead on: "
+                    f"{', '.join(wins) if wins else 'none'}."
+                )
+            if verdicts:
+                lines += ["**GAN vs matched no-GAN control** (the "
+                          "attribution test — fine-tune gains that the "
+                          "control also achieves are plain extra training, "
+                          "not the adversary):", ""] + verdicts + [""]
 
     with open("QUALITY_r04.md", "w") as f:
         f.write("\n".join(lines) + "\n")

@@ -66,6 +66,13 @@ commit_artifacts "GANFT_SWEEP_r04: energy-flagship GAN fine-tune vs no-GAN contr
 run_phase 1800 /tmp/r04_q2_om.log \
     python -u tools/om_demo.py energy_rvq_speech
 
+# 5b: serving cost of the quality flagship (energy-descent bottleneck)
+run_phase 3600 /tmp/r04_q2_bench_energy.log \
+    python -u tools/bench_energy.py
+git add -A ENERGY_BENCH_r04.json 2>/dev/null
+git diff --cached --quiet || git commit -q -m \
+    "ENERGY_BENCH_r04: inference throughput of the energy_rvq codec vs n_iters"
+
 # 6: aggregate + render + commit
 timeout 600 python tools/ganft_sweep.py report > /tmp/r04_q2_report.log 2>&1
 timeout 600 python tools/quality_r04.py --markdown >> /tmp/r04_q2_report.log 2>&1
