@@ -200,6 +200,45 @@ def test_truncated_level_decode(codec, rng):
     np.testing.assert_allclose(y, np.asarray(y_ref), atol=1e-5)
 
 
+def test_energy_rvq_file_coding(rng):
+    """The coded energy-transformer bottleneck (bottleneck='energy_rvq')
+    file-codes on the BATCH path: the energy descent attends across the
+    whole latent sequence, so there is no carried-state stream form —
+    encode_array must not construct the streaming codec for it, and
+    --stream must be a clear error, not an assert."""
+    import pytest
+
+    from audio_generation_tpu.models import CausalVQAE
+    from tools.codec_cli import decode_array, encode_array
+
+    model = CausalVQAE(
+        **{**SMALL, "codebook_dim": 16},
+        bottleneck="energy_rvq",
+        energy_kwargs={"n_iters": 2, "n_heads": 2, "head_dim": 8},
+    )
+    x = jnp.zeros((1, 1, 24 * 50))
+    variables = model.init(jax.random.key(0), x)
+
+    L = 24 * 40 + 7
+    wave = (rng.normal(size=L) * 0.3).astype(np.float32)
+    idx, meta = encode_array(model, variables, wave, 24000, chunk_frames=10)
+    assert meta["stride"] == 24 and meta["original_length"] == L
+    assert idx.shape[0] % 10 == 0 and idx.shape[1] == 4
+
+    buf = io.BytesIO()
+    write_bitstream(buf, idx, **meta)
+    got, m = read_bitstream(buf.getvalue())
+    np.testing.assert_array_equal(got, idx)
+    y = decode_array(model, variables, got, m.original_length, chunk_frames=10)
+    assert y.shape == (L,) and np.isfinite(y).all()
+
+    with pytest.raises(SystemExit, match="RVQ bottleneck"):
+        encode_array(model, variables, wave, 24000, chunk_frames=10,
+                     stream=True)
+    with pytest.raises(SystemExit, match="RVQ bottleneck"):
+        decode_array(model, variables, got, L, chunk_frames=10, stream=True)
+
+
 def test_corrupt_header_bounds(rng):
     """ADVICE r3: header fields must be bounded before any allocation."""
     import struct

@@ -76,11 +76,22 @@ def encode_array(
     import jax
 
     model = _f32(model)
-    codec = _codec(model, variables, chunk_frames)
+    if model.bottleneck == "rvq":
+        codec = _codec(model, variables, chunk_frames)
+        latency, chunk, stride = (codec.latency_samples, codec.chunk,
+                                  codec.stride)
+    else:
+        # energy_rvq etc.: batch coding only (the energy descent attends
+        # across the whole latent sequence — no carried-state stream form).
+        # Same pad law with latency 0: batch decode has no emission delay.
+        if stream:
+            raise SystemExit(
+                f"--stream supports the RVQ bottleneck only (model has "
+                f"'{model.bottleneck}'); use the batch path")
+        latency, stride = 0, model.scale_factor
+        chunk = chunk_frames * stride
     L = int(wave.shape[-1])
-    padded = np.zeros(
-        padded_length(L, codec.latency_samples, codec.chunk), np.float32
-    )
+    padded = np.zeros(padded_length(L, latency, chunk), np.float32)
     padded[:L] = wave
     if stream:
         idx = codec.encode_stream(padded[None, :])[0]
@@ -94,7 +105,7 @@ def encode_array(
     meta = dict(
         codebook_sizes=list(model.quantizer.codebook_sizes)[:n],
         sample_rate=sample_rate,
-        stride=codec.stride,
+        stride=stride,
         original_length=L,
     )
     return idx[:, :n], meta
@@ -112,6 +123,10 @@ def decode_array(
     import jax
 
     model = _f32(model)
+    if stream and model.bottleneck != "rvq":
+        raise SystemExit(
+            f"--stream supports the RVQ bottleneck only (model has "
+            f"'{model.bottleneck}'); use the batch path")
     if stream:
         codec = _codec(model, variables, chunk_frames)
         y = codec.decode_stream(indices[None])[0]
