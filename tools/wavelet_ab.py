@@ -1,0 +1,146 @@
+"""Wavelet-decoder A/B: does the Gabor WaveletLayer upsampler earn its place?
+
+The reference motivates its wavelet upsampler with a plot-only check —
+WaveletLayer training loss vs naive F.interpolate upsampling
+(reference: networks/wavelets.py:286-307) — and ships
+wavelet_decoders=[False, True, False, False, False] as the default
+(networks/vae.py:222). This tool turns that anecdote into a measured number
+on the speech-like campaign data: train the rvq8_speech flagship config
+from scratch twice at matched wall-clock —
+
+  * "wav": the default decoder stack (one WaveletLayer block), and
+  * "ups": wavelet_decoders all-False, i.e. the learned phase-decomposed
+    CausalUpsampleConv path (ops/conv.py) — a STRONGER baseline than the
+    reference's naive interpolation,
+
+then evaluate both on the same held-out PseudoSpeech batch (seed 1234) as
+QUALITY_r04. One variant per process (CLAUDE.md wedge protocol: an external
+timeout must be able to bound a wedged remote compile).
+
+Usage:
+  python tools/wavelet_ab.py run wav [minutes=40]
+  python tools/wavelet_ab.py run ups [minutes=40]
+  python tools/wavelet_ab.py report          # -> WAVELET_AB_r04.json
+  python tools/wavelet_ab.py smoke           # CPU pipeline check
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+import ganft_sweep as gs
+import quality_r04 as q
+
+OUT_DIR = os.path.join(q.OUT_DIR, "wavelet_ab")
+
+VARIANTS = {
+    "wav": None,  # model default: (False, True, False, False, False)
+    "ups": [False, False, False, False, False],
+}
+
+
+def make_trainer(tag: str, smoke=False):
+    from audio_generation_tpu.config import ExperimentConfig
+    from audio_generation_tpu.train.trainer import Trainer
+
+    spec = json.loads(json.dumps(q.CONFIGS["rvq8_speech"]))
+    spec["vae_args"]["compute_dtype"] = "float32" if smoke else "bfloat16"
+    if VARIANTS[tag] is not None:
+        spec["vae_args"]["wavelet_decoders"] = VARIANTS[tag]
+    spec["trainer_args"]["save_every"] = 10**6  # npz-free probe runs
+    if smoke:  # mirror quality_r04.make_trainer's CPU-smoke geometry
+        spec["vae_args"]["first_block_channels"] = 8
+        spec["trainer_args"].update(batch_size=2, mini_epoch_length=4,
+                                    crop_size=6144, data_workers=2)
+    root = "/tmp/wavelet_ab_smoke/" if smoke else "/tmp/wavelet_ab/"
+    cfg = ExperimentConfig.from_dict(
+        {
+            "experiment_name": f"wavelet_ab_{tag}",
+            "dataset": q.DATASET,
+            "sample_rate": q.SR,
+            "scratch_train": True,
+            "save_path_root": root,
+            **spec,
+        }
+    )
+    return Trainer(cfg, dataset=q.build_dataset(True) if smoke else gs._dataset(),
+                   data_sample_rate=q.SR)
+
+
+def run(tag: str, minutes: float = 40.0, smoke=False):
+    from audio_generation_tpu.evaluate import evaluate_codec
+
+    out_dir = "/tmp/wavelet_ab_smoke/out" if smoke else OUT_DIR
+    os.makedirs(out_dir, exist_ok=True)
+    out_p = os.path.join(out_dir, f"{tag}.json")
+    if os.path.exists(out_p):
+        print(f"[{tag}] exists — skipping")
+        return
+
+    trainer = make_trainer(tag, smoke)
+    waves = q.eval_batch(smoke=smoke)
+
+    deadline = time.time() + minutes * 60
+    losses: list = []
+    t0 = time.time()
+    while time.time() < deadline:
+        trainer.train(epochs=1, losses=losses)
+        print(f"[{tag}] step {int(trainer.state.step)} "
+              f"({(deadline - time.time())/60:.0f} min left)", flush=True)
+        if smoke:
+            break
+
+    after = evaluate_codec(trainer.model, trainer._variables(), waves, q.SR)
+    result = {
+        "tag": tag,
+        "wavelet_decoders": (VARIANTS[tag] if VARIANTS[tag] is not None
+                             else "default (False,True,False,False,False)"),
+        "config": "rvq8_speech (from scratch, no GAN)",
+        "steps": int(trainer.state.step),
+        "train_minutes": (time.time() - t0) / 60.0,
+        "loss_last16": float(np.mean(losses[-16:])) if losses else None,
+        "after": {k: round(float(v), 4) for k, v in after.items()},
+    }
+    with open(out_p, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result), flush=True)
+
+
+def report():
+    rows = []
+    for tag in VARIANTS:
+        p = os.path.join(OUT_DIR, f"{tag}.json")
+        if os.path.exists(p):
+            rows.append(json.load(open(p)))
+    out = {
+        "claim": "reference networks/wavelets.py:286-307 — WaveletLayer "
+                 "upsampling beats naive interpolation (plot-only). Here: "
+                 "default one-wavelet-block decoder vs all learned-upsample "
+                 "decoders, from scratch at matched wall-clock on "
+                 "PseudoSpeech, held-out eval.",
+        "variants": rows,
+    }
+    with open("WAVELET_AB_r04.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote WAVELET_AB_r04.json ({len(rows)} variants)")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
+    if cmd == "run":
+        run(sys.argv[2], float(sys.argv[3]) if len(sys.argv) > 3 else 40.0)
+    elif cmd == "smoke":
+        run("wav", 0.02, smoke=True)
+        run("ups", 0.02, smoke=True)
+        print("wavelet ab smoke OK")
+    elif cmd == "report":
+        report()
+    else:
+        sys.exit(f"unknown command {cmd}")
