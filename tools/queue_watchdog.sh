@@ -81,10 +81,17 @@ fi
 echo $$ > /tmp/watchdog.pid
 rm -f "$STATE"
 
-log "watching $QUEUE pid=$$ (freeze ${FREEZE_S}s, relaunch args: ${RELAUNCH_ARGS[*]:-none})"
+# Queue-specific done marker, anchored at line start. Each queue echoes
+# "<name with underscores as spaces> done at <date>" when finished. The old
+# substring grep ("queue done") matched the set -x TRACE of a chained
+# queue's wait loop (`+ grep -q 'r04 sweep queue done' ...`), making the
+# watchdog exit minutes after launch while the queue was still running.
+MARKER="$(basename "$QUEUE" .sh | tr _ ' ') done"
+
+log "watching $QUEUE qpid=$(queue_pid) (freeze ${FREEZE_S}s, marker '^$MARKER', relaunch args: ${RELAUNCH_ARGS[*]:-none})"
 while true; do
     sleep 300
-    if grep -q "queue done" "$DONE_LOG" 2>/dev/null; then
+    if grep -q "^$MARKER" "$DONE_LOG" 2>/dev/null; then
         log "queue done — exiting"; exit 0
     fi
     PID=$(cat /tmp/gan_run.pid 2>/dev/null || true)
