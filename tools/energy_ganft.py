@@ -87,7 +87,8 @@ def make_trainer(fm: float | None, smoke=False):
                    data_sample_rate=q.SR, discriminators=discs)
 
 
-def run(minutes: float, fm: float | None = None, smoke=False, nogan=False):
+def run(minutes: float, fm: float | None = None, smoke=False, nogan=False,
+        donor: str | None = None, out_tag: str | None = None):
     from audio_generation_tpu.evaluate import evaluate_codec
 
     if nogan:
@@ -101,6 +102,8 @@ def run(minutes: float, fm: float | None = None, smoke=False, nogan=False):
             except SystemExit:
                 fm = 2.0  # sweep not done yet — HiFi-GAN's value
         tag = f"energy_fm{fm:g}"
+    tag = out_tag or tag
+    donor = donor or DONOR
     sweep_dir = "/tmp/energy_ganft_smoke/out" if smoke else gs.SWEEP_DIR
     os.makedirs(sweep_dir, exist_ok=True)
     out_p = os.path.join(sweep_dir, f"{tag}.json")
@@ -109,9 +112,9 @@ def run(minutes: float, fm: float | None = None, smoke=False, nogan=False):
         return
 
     trainer = make_trainer(fm, smoke)
-    donor_step = q.restore_trainer_from_snapshot(trainer, DONOR, smoke)
+    donor_step = q.restore_trainer_from_snapshot(trainer, donor, smoke)
     if donor_step == 0:
-        sys.exit(f"no donor snapshot for {DONOR}")
+        sys.exit(f"no donor snapshot for {donor}")
     waves = q.eval_batch(smoke=smoke)
 
     deadline = time.time() + minutes * 60
@@ -127,7 +130,7 @@ def run(minutes: float, fm: float | None = None, smoke=False, nogan=False):
     after = evaluate_codec(trainer.model, trainer._variables(), waves, q.SR)
     result = {
         "tag": tag,
-        "donor": DONOR,
+        "donor": donor,
         "donor_step": donor_step,
         "feature_multiplier": fm,
         "lr": {"model": 2e-4, "discriminator": 2e-4},
@@ -175,6 +178,13 @@ if __name__ == "__main__":
             run(minutes, nogan=True)
         else:
             run(minutes, float(fm_arg) if fm_arg is not None else None)
+    elif cmd == "extend":  # continue a saved energy GAN-ft snapshot:
+        #   extend <snapshot_name> [minutes=90] [fm=sweep-winner's]
+        snap = sys.argv[2]
+        minutes = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
+        fm_arg = float(sys.argv[4]) if len(sys.argv) > 4 else None
+        run(minutes, fm=fm_arg, donor=snap,
+            out_tag=f"{snap.removeprefix('ganft_')}_ext{int(minutes)}")
     elif cmd == "smoke":
         run(0.02, fm=2.0, smoke=True)
         run(0.02, smoke=True, nogan=True)

@@ -147,10 +147,12 @@ def make_sweep_trainer(tag: str, smoke=False):
 
 
 def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
-        out_tag: str | None = None, save_snapshot: bool = False):
+        out_tag: str | None = None, save_snapshot: bool = False,
+        donor: str | None = None):
     from audio_generation_tpu.evaluate import evaluate_codec
 
     out_tag = out_tag or tag
+    donor = donor or q.GANFT_DONOR
     sweep_dir = "/tmp/ganft_sweep_smoke/out" if smoke else SWEEP_DIR
     os.makedirs(sweep_dir, exist_ok=True)
     out_p = os.path.join(sweep_dir, f"{out_tag}.json")
@@ -159,9 +161,9 @@ def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
         return
 
     trainer = make_sweep_trainer(tag, smoke)
-    donor_step = q.restore_trainer_from_snapshot(trainer, q.GANFT_DONOR, smoke)
+    donor_step = q.restore_trainer_from_snapshot(trainer, donor, smoke)
     if donor_step == 0:
-        sys.exit(f"no donor snapshot {q.GANFT_DONOR}")
+        sys.exit(f"no donor snapshot {donor}")
     waves = q.eval_batch(smoke=smoke)
 
     deadline = time.time() + minutes * 60
@@ -179,7 +181,7 @@ def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
         "lr": {"model": 2e-4, "discriminator": 2e-4},
         "adversary": ("none (no-GAN control)" if VARIANTS[tag] is None
                       else "stft_discriminator_1024 (single, full-size)"),
-        "donor": q.GANFT_DONOR,
+        "donor": donor,
         "donor_step": donor_step,
         "steps": int(trainer.state.step),
         "train_minutes": (time.time() - t0) / 60.0,
@@ -263,6 +265,18 @@ if __name__ == "__main__":
         minutes = float(sys.argv[3]) if len(sys.argv) > 3 else 90.0
         run(tag, minutes, out_tag=f"{tag}_long{int(minutes)}",
             save_snapshot=True)
+    elif cmd == "extend":  # continue a saved long-run snapshot: the npz
+        # stores params+codebook only, so the optimizer/adversary restart
+        # fresh (same converge-then-adversarial mechanics as the original
+        # fine-tune). Adds another matched point to the GAN-vs-control
+        # wall-clock curves.
+        #   extend <variant_tag> <snapshot_name> [minutes=90] [out_tag]
+        tag = sys.argv[2]
+        snap = sys.argv[3]
+        minutes = float(sys.argv[4]) if len(sys.argv) > 4 else 90.0
+        out_tag = (sys.argv[5] if len(sys.argv) > 5
+                   else f"{tag}_ext{int(minutes)}")
+        run(tag, minutes, out_tag=out_tag, save_snapshot=True, donor=snap)
     elif cmd == "best":
         best()
     elif cmd == "smoke":  # CPU pipeline check (needs /tmp/r04_smoke donor:
