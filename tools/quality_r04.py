@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
 import time
@@ -579,10 +580,38 @@ def write_markdown():
             # group that has a no-GAN control, compare the best GAN row
             # against the control — continued-training gains are credited to
             # the control, so only the residual is adversarial.
+            def root_donor(dn: str) -> str:
+                # queue4 extension rows restore from a BRANCH snapshot
+                # (ganft_fm50_long90 / ganft_nogan_long90 / ganft_energy_*);
+                # for attribution they pair by their common root donor.
+                if dn.startswith("ganft_energy"):
+                    return "energy_rvq_speech"
+                if dn.startswith("ganft_"):
+                    return GANFT_DONOR
+                return dn
+
+            by_tag = {v["tag"]: v for v in sw["variants"]}
+
+            def cum_minutes(v) -> float:
+                # cumulative fine-tune wall-clock along the snapshot lineage
+                # (an ext row's own minutes + its branch's, recursively), so
+                # a +90 extension buckets with the matched control extension,
+                # not with the 90-min branch it grew from.
+                m, dn = v["train_minutes"], v.get("donor", GANFT_DONOR)
+                while dn.removeprefix("ganft_") in by_tag:
+                    b = by_tag[dn.removeprefix("ganft_")]
+                    m += b["train_minutes"]
+                    dn = b.get("donor", GANFT_DONOR)
+                return m
+
             groups: dict = {}
             for v in sw["variants"]:
-                key = (v.get("donor", GANFT_DONOR),
-                       int(round(v["train_minutes"] / 15.0)))
+                # log2 duration buckets: campaign budgets are {20, 45, 90,
+                # 180} min and compile variance smears each by a few minutes
+                # (a linear 15-min bucket once split 23.6-min fm50 from the
+                # 21-min rows and mispaired the verdict).
+                bucket = int(round(math.log2(max(cum_minutes(v), 1.0) / 20.0)))
+                key = (root_donor(v.get("donor", GANFT_DONOR)), bucket)
                 groups.setdefault(key, []).append(v)
             verdicts = []
             for (dn, _), vs in sorted(groups.items()):
