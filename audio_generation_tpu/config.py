@@ -66,6 +66,10 @@ class VAEConfig:
     # (ops/rvq_pallas.py): bit-exact indices vs the XLA scan at parity speed
     # on v5e (5.8 vs 5.5 ms @ 4800 frames, round 2) — keep False for
     # training (no codebook updates); requires a uniform codebook_size
+    use_pallas_stack: bool = False  # fused VMEM-resident residual stacks
+    # (ops/stack_pallas.py): the whole dilated stack in one Pallas kernel —
+    # one HBM round trip instead of one per conv. Same math and param tree;
+    # differentiable (custom VJP recomputes through the XLA path)
     restart_stale_codebooks: bool = False  # dead-entry reactivation inside
     # the jitted step (models/quantizer.py restart_stale): re-seed entries
     # whose usage EMA fell below stale_threshold from the batch's worst

@@ -51,8 +51,22 @@ class CausalResidualBlock1d(nn.Module):
     # static_argnums: the parent constructs this block where fold is known
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_weights: bool = False):
         fold = self.fold
+        if return_weights:
+            # Param-creating weight extraction for the fused Pallas stack
+            # (ops/stack_pallas.py): identical param tree, no compute.
+            assert not self.depthwise
+            w1, b1 = CausalConv1d(
+                features=self.channels,
+                kernel_size=self.kernel_size,
+                dilation=self.dilation,
+                name="conv1",
+            )(x, fold=fold, return_weights=True)
+            w2, b2 = CausalConv1d(
+                features=self.channels, kernel_size=1, name="conv2"
+            )(x, fold=fold, return_weights=True)
+            return w1, b1, w2, b2
         if self.depthwise:
             assert fold == 1, "depthwise + folded not supported"
             h = CausalConv1d(
@@ -80,6 +94,45 @@ class CausalResidualBlock1d(nn.Module):
         return x + h
 
 
+def _run_stack(mod, x, c: int, fold: int):
+    """The shared dilated residual stack of CausalEncoderBlock /
+    CausalDecoderBlock: (n_layers - 1) residual blocks (dilations 3^i) with a
+    LeakyReLU(0.1) after each (reference: networks/vae.py:119-148,150-202).
+
+    When `mod.pallas_stack` is set and the folded activation is 128 or 256
+    lanes wide, the whole stack runs as ONE fused Pallas kernel
+    (ops/stack_pallas.py): identical math and param tree, one HBM round trip
+    instead of six. Falls back to the per-block XLA path otherwise (including
+    at init, mirroring use_pallas_rvq)."""
+    dilations = tuple(3**i for i in range(mod.n_layers - 1))
+    if (
+        mod.pallas_stack
+        and not mod.depthwise
+        and fold * c in (128, 256)
+        and not mod.is_initializing()
+    ):
+        blocks_w = tuple(
+            CausalResidualBlock1d(
+                channels=c, dilation=d, fold=fold, name=f"res{i}"
+            )(x, return_weights=True)
+            for i, d in enumerate(dilations)
+        )
+        from audio_generation_tpu.ops.stack_pallas import fused_residual_stack
+
+        return fused_residual_stack(x, blocks_w, fold=fold, dilations=dilations)
+    Res = nn.remat(CausalResidualBlock1d) if mod.remat else CausalResidualBlock1d
+    for i, d in enumerate(dilations):
+        x = Res(
+            channels=c,
+            dilation=d,
+            depthwise=mod.depthwise,
+            fold=fold,
+            name=f"res{i}",
+        )(x)
+        x = leaky_relu(x, 0.1)
+    return x
+
+
 class CausalEncoderBlock(nn.Module):
     """(n_layers - 1) dilated residual blocks (dilations 3^i) then a strided
     downsampling conv with kernel 2*stride + 1; LeakyReLU(0.1) throughout
@@ -91,6 +144,7 @@ class CausalEncoderBlock(nn.Module):
     depthwise: bool = False
     lane_fold: bool = True  # exact lane-folded residual stack when C < 128
     remat: bool = False  # rematerialize each residual block in backward
+    pallas_stack: bool = False  # fused VMEM-resident stack (ops/stack_pallas.py)
 
     @nn.compact
     def __call__(self, x, in_fold: int = 1):
@@ -107,16 +161,7 @@ class CausalEncoderBlock(nn.Module):
                 x = unfold_time(x, in_fold, c)
             if fold > 1:
                 x = fold_time(x, fold)
-        Res = nn.remat(CausalResidualBlock1d) if self.remat else CausalResidualBlock1d
-        for i in range(self.n_layers - 1):
-            x = Res(
-                channels=c,
-                dilation=3**i,
-                depthwise=self.depthwise,
-                fold=fold,
-                name=f"res{i}",
-            )(x)
-            x = leaky_relu(x, 0.1)
+        x = _run_stack(self, x, c, fold)
         if fold > 1:
             x = unfold_time(x, fold, c)
         x = CausalConv1d(
@@ -143,6 +188,7 @@ class CausalDecoderBlock(nn.Module):
     channelwise: bool = True
     lane_fold: bool = True  # exact lane-folded residual stack when C < 128
     remat: bool = False  # rematerialize each residual block in backward
+    pallas_stack: bool = False  # fused VMEM-resident stack (ops/stack_pallas.py)
 
     @nn.compact
     def __call__(self, x):
@@ -181,16 +227,7 @@ class CausalDecoderBlock(nn.Module):
             if fold > 1:
                 x = fold_time(x, fold)
         x = leaky_relu(x, 0.1)
-        Res = nn.remat(CausalResidualBlock1d) if self.remat else CausalResidualBlock1d
-        for i in range(self.n_layers - 1):
-            x = Res(
-                channels=self.out_channels,
-                dilation=3**i,
-                depthwise=self.depthwise,
-                fold=fold,
-                name=f"res{i}",
-            )(x)
-            x = leaky_relu(x, 0.1)
+        x = _run_stack(self, x, self.out_channels, fold)
         if fold > 1:
             x = unfold_time(x, fold, self.out_channels)
         return x

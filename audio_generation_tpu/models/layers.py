@@ -122,7 +122,14 @@ class CausalConv1d(_NormedConvBase):
     dilation: int = 1
 
     @nn.compact
-    def __call__(self, x, fold: int = 1):
+    def __call__(self, x, fold: int = 1, return_weights: bool = False):
+        if return_weights:
+            # Create params exactly as the compute path would (same names,
+            # shapes, init) but hand back the effective (w, b) instead of
+            # convolving — the fused Pallas stack (ops/stack_pallas.py)
+            # folds and applies them itself.
+            w, b = self._weight(x.shape[-1] // fold)
+            return w, b
         if fold > 1:
             assert self.stride == 1 and self.groups == 1
             w, b = self._weight(x.shape[-1] // fold)

@@ -70,6 +70,9 @@ class CausalVQAE(nn.Module):
     # batch 4 x accum 32 x 72000 GAN step on a 16 GB v5e
     use_pallas_rvq: bool = False  # inference-only fused RVQ kernel
     # (ops/rvq_pallas.py); bit-exact indices, no codebook updates
+    use_pallas_stack: bool = False  # fused VMEM-resident residual stacks
+    # (ops/stack_pallas.py): one HBM round trip per stack instead of one per
+    # conv; same math/params, differentiable (custom VJP recomputes via XLA)
     restart_stale_codebooks: bool = False  # dead-entry reactivation
     # (models/quantizer.py restart_stale; off = reference parity)
 
@@ -126,6 +129,7 @@ class CausalVQAE(nn.Module):
                 depthwise=self.depthwise,
                 lane_fold=self._fold_enabled("enc"),
                 remat=self.remat_blocks,
+                pallas_stack=self.use_pallas_stack,
             )
             for i in range(self.n_blocks)
         ]
@@ -141,6 +145,7 @@ class CausalVQAE(nn.Module):
                 wavelet=wavelet_flags[i - 1],
                 lane_fold=self._fold_enabled("dec"),
                 remat=self.remat_blocks,
+                pallas_stack=self.use_pallas_stack,
             )
             for i in range(self.n_blocks, 0, -1)
         ]
@@ -335,6 +340,7 @@ def model_from_config(cfg) -> CausalVQAE:
         remat_blocks=cfg.remat_blocks,
         lane_fold=cfg.lane_fold,
         use_pallas_rvq=cfg.use_pallas_rvq,
+        use_pallas_stack=cfg.use_pallas_stack,
         restart_stale_codebooks=cfg.restart_stale_codebooks,
         compute_dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
     )
