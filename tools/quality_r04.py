@@ -360,18 +360,21 @@ def write_markdown():
         return
     by = {r["config"]: r for r in rows}
 
-    def traj(name, cols=("eval_si_sdr_db", "eval_mel_l1", "eval_mcd_db",
-                         "eval_stoi_proxy")):
-        p = os.path.join(OUT_DIR, "runs", name, "metrics.csv")
+    def parse_csv(p, cols=("eval_si_sdr_db", "eval_mel_l1", "eval_mcd_db",
+                           "eval_stoi_proxy")):
         if not os.path.exists(p):
             return []
-        out = []
-        for r in csv.DictReader(open(p)):
+        seen = {}  # crash-safe csv appends across restarts: keep the LAST
+        for r in csv.DictReader(open(p)):  # row per step, render in order
             if r.get(cols[0]):
                 try:
-                    out.append((int(r["step"]),) + tuple(float(r[c]) for c in cols))
+                    seen[int(r["step"])] = tuple(float(r[c]) for c in cols)
                 except (KeyError, ValueError):
                     continue
+        return [(s,) + seen[s] for s in sorted(seen)]
+
+    def traj(name):
+        out = parse_csv(os.path.join(OUT_DIR, "runs", name, "metrics.csv"))
         expect = by.get(name, {}).get("steps")
         if out and expect and out[-1][0] < 0.8 * expect:
             return []  # fresh restart's csv must not shadow the full run
@@ -442,9 +445,32 @@ def write_markdown():
         t = traj(r["config"])
         if not t:
             continue
-        pts = t[:: max(len(t) // 10, 1)] + [t[-1]]
+        pts = t[:: max(len(t) // 10, 1)]
+        if pts[-1] != t[-1]:
+            pts.append(t[-1])
         lines.append(
             f"**{r['config']}**: " + "  ".join(
+                f"s{s}: {si:+.1f}/{mel:.2f}/{mcd:.1f}/{st:.2f}"
+                for s, si, mel, mcd, st in pts
+            )
+        )
+        lines.append("")
+    # Sweep/fine-tune branch trajectories from the COMMITTED per-variant
+    # metrics.csv (the runs/ Orbax dirs are gitignored and VM resets wipe
+    # them; these survive). Step numbering restarts at each branch point —
+    # extensions restore params from a snapshot with a fresh trainer.
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(OUT_DIR, "sweep", "*.metrics.csv"))):
+        t = parse_csv(p)
+        if len(t) < 3:
+            continue
+        tag = os.path.basename(p)[: -len(".metrics.csv")]
+        pts = t[:: max(len(t) // 8, 1)]
+        if pts[-1] != t[-1]:
+            pts.append(t[-1])
+        lines.append(
+            f"**sweep/{tag}** (branch steps): " + "  ".join(
                 f"s{s}: {si:+.1f}/{mel:.2f}/{mcd:.1f}/{st:.2f}"
                 for s, si, mel, mcd, st in pts
             )
