@@ -654,7 +654,8 @@ def write_markdown():
                     ("MCD", ga["mcd_db"] < c["mcd_db"]),
                 ) if better]
                 verdicts.append(
-                    f"- **{dn} @ ~{g['train_minutes']:.0f} min**: best GAN "
+                    f"- **{dn} @ ~{cum_minutes(g):.0f} fine-tune min "
+                    "(cumulative)**: best GAN "
                     f"row `{g['tag']}` vs matched no-GAN control "
                     f"`{ctrl[0]['tag']}` — STOI* {ga['stoi_proxy']:.3f} vs "
                     f"{c['stoi_proxy']:.3f}, mel {ga['mel_l1']:.3f} vs "
