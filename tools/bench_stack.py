@@ -16,9 +16,13 @@ Run on an idle TPU only (never overlap remote compiles, CLAUDE.md).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build(dtype, batch, length, pallas_stack):
