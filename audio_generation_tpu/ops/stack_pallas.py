@@ -182,11 +182,15 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
 def _pick_tile(lf: int, lanes: int) -> int:
     cap = max(256, (4096 * 128) // lanes)
     if lf <= cap:
-        return lf
-    for t in range(cap, 255, -1):  # largest divisor avoids host-side padding
+        return lf  # single tile: block == array is always Mosaic-legal
+    # Mosaic requires a PARTIAL time-block to be a multiple of 8 sublanes
+    # (first real-TPU run rejected 1500 of 3000: divisor, but 1500 % 8 != 0).
+    # Prefer the largest multiple-of-8 divisor (no host-side padding); else
+    # any tile works because _forward pads lf up to a multiple of T.
+    for t in range(cap - cap % 8, 255, -8):
         if lf % t == 0:
             return t
-    return cap
+    return cap - cap % 8
 
 
 def _forward(x, blocks, *, fold, dilations, tile=None, interpret=None):
@@ -194,6 +198,8 @@ def _forward(x, blocks, *, fold, dilations, tile=None, interpret=None):
     arrays, meta, H, PAD = _stage_plan(blocks, fold, dilations, x.dtype)
     T = _pick_tile(lf, lanes) if tile is None else min(tile, lf)
     T = max(T, H)  # a tile must cover the stack history it carries forward
+    if T < lf:  # Mosaic sublane law: a partial block must be 8-aligned
+        T = min(-8 * (-T // 8), lf)
     pad_rows = (-lf) % T
     xp = jnp.pad(x, ((0, 0), (0, pad_rows), (0, 0))) if pad_rows else x
     lfp = lf + pad_rows

@@ -121,3 +121,35 @@ def test_vae_end_to_end_parity():
     _, _, codes0 = m0.apply(v, x, method="encode")
     _, _, codes1 = m1.apply(v, x, method="encode")
     assert jnp.array_equal(codes0, codes1), "indices must be bit-equal"
+
+
+def test_pick_tile_mosaic_legal():
+    """Mosaic rejects a partial time-block that is not a multiple of 8
+    sublanes (first real-TPU run: block 1500 of 3000 -> lowering error).
+    The auto-picked tile must be 8-aligned whenever it is partial."""
+    from audio_generation_tpu.ops.stack_pallas import _pick_tile
+
+    for lf, lanes in [
+        (3000, 256),   # the failing flagship decoder stage
+        (18000, 128),  # 72 kHz folded stem
+        (4800, 512),
+        (97, 128),     # single tile (block == array, any size legal)
+        (2049, 256),   # no divisor in range -> padded fallback
+    ]:
+        t = _pick_tile(lf, lanes)
+        assert t == lf or t % 8 == 0, (lf, lanes, t)
+        assert 0 < t <= lf
+        cap = max(256, (4096 * 128) // lanes)
+        assert t <= max(cap, lf if lf <= cap else 0)
+
+
+def test_forward_tile_normalization_parity():
+    """An explicit non-8-aligned tile is rounded up inside _forward; the
+    result must stay bit-identical to the XLA path (tiling is pure strategy)."""
+    rng = np.random.RandomState(7)
+    c, fold, lf = 32, 4, 200
+    blocks = _mk_blocks(rng, c)
+    x = jnp.asarray(rng.randn(2, lf, fold * c).astype(np.float32) * 0.1)
+    ref = residual_stack_xla(x, blocks, fold=fold, dilations=DILS)
+    got = fused_residual_stack(x, blocks, fold=fold, dilations=DILS, tile=50)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
