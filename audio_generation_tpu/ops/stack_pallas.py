@@ -68,6 +68,19 @@ from audio_generation_tpu.ops.conv import _fold_matrix, folded_causal_conv1d
 NEG_SLOPE = 0.1  # the generator's LeakyReLU slope (reference networks/vae.py)
 
 
+def _lrelu_mosaic(x, negative_slope):
+    """leaky_relu in a Mosaic-legal form for in-kernel use.
+
+    `jnp.where(x >= 0, ...)` lowers to `arith.cmpf` on the compute dtype and
+    Mosaic rejects bf16 vector comparisons on v5e ("Target does not support
+    this comparison" — the round-4 STACK_BENCH failure). max/min need no
+    comparison result type and compile. Value-equal to ops.activations.
+    leaky_relu for every finite x: x >= 0 -> max=x, min=0, x + s*0 = x;
+    x < 0 -> max=0, min=x, 0 + s*x = s*x (adding a true zero is exact in
+    any float dtype, so kernel-vs-XLA parity stays bit-exact)."""
+    return jnp.maximum(x, 0) + negative_slope * jnp.minimum(x, 0)
+
+
 def residual_stack_xla(x, blocks, *, fold: int, dilations: Sequence[int]):
     """The stack as the existing XLA ops compute it (CausalResidualBlock1d +
     the inter-block activation, models/blocks.py:36-81,110-119). Used as the
@@ -164,9 +177,9 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
             acc = acc + jnp.dot(
                 src[lo : lo + N], wf[t], preferred_element_type=acc_t
             )
-        a = leaky_relu(acc.astype(dtype) + b1[0], NEG_SLOPE)
+        a = _lrelu_mosaic(acc.astype(dtype) + b1[0], NEG_SLOPE)
         r = jnp.dot(a, wp[:], preferred_element_type=acc_t).astype(dtype)
-        h = leaky_relu(src[PAD : PAD + N] + (r + b2[0]), NEG_SLOPE)
+        h = _lrelu_mosaic(src[PAD : PAD + N] + (r + b2[0]), NEG_SLOPE)
         dst[PAD : PAD + N] = h
 
         @pl.when(i == 0)
@@ -180,11 +193,19 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
 
 
 def _pick_tile(lf: int, lanes: int) -> int:
-    cap = max(256, (4096 * 128) // lanes)
+    # Tile budget: ins/outs are double-buffered, weights + two ping-pong
+    # scratch buffers + the f32 accumulator temporaries all live in VMEM.
+    # 4096*128 lane-elements (T=3600 at lanes=128) compiled standalone and
+    # at b8, but the b32 model graph hit the 16 MiB scoped-vmem limit at
+    # 19.38 MiB (XLA shares scoped vmem with neighbouring fusions) — halve
+    # the budget; the kernel is HBM-bound, so smaller tiles keep the win.
+    cap = max(256, (2048 * 128) // lanes)
     if lf <= cap:
         return lf  # single tile: block == array is always Mosaic-legal
-    # Mosaic requires a PARTIAL time-block to be a multiple of 8 sublanes
-    # (first real-TPU run rejected 1500 of 3000: divisor, but 1500 % 8 != 0).
+    # Mosaic requires ANY time-block smaller than the full array dim to be a
+    # multiple of 8 sublanes — block == array is the only exemption (the
+    # first real-TPU run rejected 1500 of 3000: an exact divisor, no partial
+    # block, yet still refused because 1500 % 8 != 0).
     # Prefer the largest multiple-of-8 divisor (no host-side padding); else
     # any tile works because _forward pads lf up to a multiple of T.
     for t in range(cap - cap % 8, 255, -8):

@@ -442,7 +442,17 @@ class StatefulStreamingCodec:
 
     def __post_init__(self):
         m = self.model
-        assert m.bottleneck == "rvq", "streaming supports the RVQ bottleneck"
+        assert m.bottleneck in ("rvq", "energy_rvq"), (
+            "streaming supports the RVQ and coded-energy bottlenecks"
+        )
+        # energy_rvq chunk semantics: the energy-transformer descent
+        # (models/energy.py) attends over its INPUT WINDOW — a global, not
+        # frame-causal, op. Batch encode descends over the whole latent
+        # sequence; streaming descends over each chunk's latent frames
+        # independently. Encode is therefore NOT bit-identical to batch for
+        # energy_rvq (indices may differ near chunk boundaries — measured in
+        # STREAM_ENERGY_r05.json); decode-from-indices remains exact, and the
+        # plain-RVQ path keeps its bit-identity guarantee below.
         assert not m.depthwise, "streaming plan covers the default conv stack"
         params = jax.device_get(self.variables["params"])
         self.stride = m.scale_factor
@@ -497,11 +507,24 @@ class StatefulStreamingCodec:
         q = m.quantizer
         qstate = self.variables["codebook"]["state"]
 
+        energy_fn = None
+        if m.bottleneck == "energy_rvq":
+
+            def energy_fn(z):  # per-chunk descent window (see __post_init__)
+                z_e, _aux = self.model.apply(
+                    self.variables,
+                    z.astype(jnp.float32),
+                    method=lambda mm, zz: mm.energy_bottleneck(zz),
+                )
+                return z_e.astype(z.dtype)
+
         def enc_step(state, chunk):
             ops_states, counters = state
             ops_states, counters, z = _chain_step(
                 self._enc_ops, ops_states, counters, chunk[:, :, None]
             )
+            if energy_fn is not None:
+                z = energy_fn(z)
             z_q, idx, _commit, _ = q(
                 qstate, z, codebook_n=None, update_codebook=False
             )

@@ -66,6 +66,14 @@ class StepBuilder:
         self.disc_tx = disc_tx
         self.mel_bank = make_mel_bank(trainer_cfg.sample_rate, trainer_cfg.spec_windows)
         self._step_cache = {}
+        # Metric-name registry: the ONLY metrics that belong to the
+        # discriminator ledger are the D hinge losses emitted by
+        # _discriminator_losses as f"{name}_loss". The trainer routes its
+        # EWMA breakdown by membership here instead of re-deriving the
+        # naming convention with string parsing (a silent-misfile hazard if
+        # a metric is ever renamed — tests/test_trainer.py pins this set
+        # against the names a real step emits).
+        self.discriminator_metrics = frozenset(f"{n}_loss" for n in self.disc_names)
 
     # ------------------------------------------------------------------ #
     def _model_input(self, x):

@@ -386,7 +386,11 @@ class Trainer:
             for name, value in metrics.items():
                 if name in ("grad_norm", "update_norm"):  # diagnostics, not
                     continue  # losses — they would inflate the breakdown %s
-                group = "discriminator" if name.endswith("_loss") and "_g_loss" not in name and name.split("_loss")[0] in self.disc_names else "generator"
+                group = (
+                    "discriminator"
+                    if name in self.steps.discriminator_metrics
+                    else "generator"
+                )
                 self.update_loss_breakdown(float(value), name, group)
 
         if sample is not None:
@@ -443,8 +447,17 @@ class Trainer:
             out["eval_stale_frac"] = float(sum(stale)) / float(sum(sizes))
         return out
 
-    def train(self, epochs: Optional[int] = None, losses: Optional[list] = None):
-        """Full training loop (reference: training.py:416-486)."""
+    def train(self, epochs: Optional[int] = None, losses: Optional[list] = None,
+              deadline: Optional[float] = None):
+        """Full training loop (reference: training.py:416-486).
+
+        deadline: optional absolute time.time() bound checked between
+        MINI-epochs (~20 s granularity) — budgeted A/B arms stay
+        wall-clock-matched instead of overshooting by up to a full epoch
+        (the round-4 wavelet A/B overshot one arm by 20 min that way). The
+        epoch-tail hooks (cutoff decay, eval, checkpoint) still run for the
+        partial epoch, so two arms cut at the same deadline see the same
+        hook schedule."""
         epochs = epochs if epochs is not None else self.run.epochs
         if losses is None:
             losses = []
@@ -471,6 +484,8 @@ class Trainer:
 
             for _ in range(n_mini_epochs):
                 sample = self.mini_epoch(data_iter, losses=epoch_losses)
+                if deadline is not None and time.time() >= deadline:
+                    break
 
             # cutoff decay x0.95/epoch (reference: training.py:454)
             if self.config.vae.use_som and "state" in self.state.codebook:
@@ -511,6 +526,8 @@ class Trainer:
                 last_saved = int(self.state.step)
             losses.extend(epoch_losses)
             self.epoch += 1
+            if deadline is not None and time.time() >= deadline:
+                break
 
         if int(self.state.step) != last_saved:
             self.save_state()

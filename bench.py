@@ -17,10 +17,51 @@ output-dependent reduction to the host, chained across iterations.
 """
 from __future__ import annotations
 
+import contextlib
+import glob
 import json
+import os
 import time
 
 import numpy as np
+
+# Queue scripts (tools/*_queue*.sh etc.) poll this lock before starting any
+# TPU phase, so a driver-run bench never contends with a detached training
+# queue for the single chip (the round-4 official bench timed out exactly
+# that way). bench.py takes priority: it only WRITES the lock, never waits.
+LOCKFILE = "/tmp/tpu_bench.lock"
+
+
+@contextlib.contextmanager
+def bench_lock():
+    try:
+        with open(LOCKFILE, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+    try:
+        yield
+    finally:
+        try:
+            os.remove(LOCKFILE)
+        except OSError:
+            pass
+
+
+def stack_kernel_won() -> bool:
+    """True only if the NEWEST committed STACK_BENCH report says the fused
+    Pallas stack compiled on real hardware, kept indices bit-exact, and beat
+    XLA on the headline config. Probing the kernel inside the headline bench
+    burned up to 15 min on a known-broken compile in round 4 — now the probe
+    runs only on recorded evidence of a win."""
+    reports = sorted(glob.glob("STACK_BENCH_r*.json"))
+    if not reports:
+        return False
+    try:
+        with open(reports[-1]) as f:
+            return bool(json.load(f).get("win"))
+    except Exception:
+        return False
 
 
 def build(dtype, batch, length, pallas_stack=False):
@@ -105,18 +146,18 @@ def main():
     p50_bf16, p50_bf16_1 = measure(jnp.bfloat16, batch, length, n_iters=10)
     # Fused residual-stack Pallas kernel (ops/stack_pallas.py) as an
     # alternative headline execution strategy: same math/params, indices
-    # bit-equal (STACK_BENCH_r04.json). Alarm-guarded so a wedged remote
-    # Mosaic compile or a kernel regression can never sink the bench — on
-    # any failure the XLA path above is the headline.
+    # bit-equal. Only probed when the newest STACK_BENCH_r*.json records a
+    # hardware-validated win (see stack_kernel_won), and even then bounded to
+    # 120 s — the XLA path above is always the fallback headline.
     p50_pl = p50_pl_1 = None
-    if jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu" and stack_kernel_won():
         import signal
 
         def _timeout(signum, frame):
             raise TimeoutError("pallas-stack bench timed out")
 
         old = signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(900)
+        signal.alarm(120)
         try:
             p50_pl, p50_pl_1 = measure(
                 jnp.bfloat16, batch, length, n_iters=10, pallas_stack=True
@@ -165,4 +206,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    with bench_lock():
+        main()

@@ -153,3 +153,28 @@ def test_forward_tile_normalization_parity():
     ref = residual_stack_xla(x, blocks, fold=fold, dilations=DILS)
     got = fused_residual_stack(x, blocks, fold=fold, dilations=DILS, tile=50)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_tpu_compile_smoke():
+    """REAL-backend Mosaic compile gate. Interpret-mode parity proved
+    insufficient twice in round 4 (9/9 green while the kernel could not
+    compile on hardware: first a non-8-aligned tile, then a bf16 arith.cmpf
+    from leaky_relu). This test actually lowers + compiles the kernel on the
+    session backend when it is a TPU; on the CPU test mesh it skips rather
+    than silently re-testing interpret mode."""
+    if jax.default_backend() != "tpu":
+        pytest.skip("TPU backend not available (CPU test mesh)")
+    rng = np.random.RandomState(0)
+    c, fold, lf = 32, 4, 3000  # the flagship decoder stage that failed
+    blocks = _mk_blocks(rng, c)
+    bf = jnp.bfloat16
+    blocks_bf = jtu.tree_map(lambda a: a.astype(bf), blocks)
+    x = jnp.asarray(rng.randn(2, lf, fold * c).astype(np.float32) * 0.1).astype(bf)
+    got = jax.jit(
+        lambda x, b: fused_residual_stack(x, b, fold=fold, dilations=DILS)
+    )(x, blocks_bf)
+    ref = residual_stack_xla(x, blocks_bf, fold=fold, dilations=DILS)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )

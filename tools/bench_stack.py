@@ -5,7 +5,7 @@ Compares the flagship codec's encode+decode with `use_pallas_stack` off/on
 trip instead of one per conv — targets the round-2 finding that the decoder
 tail is ~80% of inference and is lane/bandwidth-bound, CLAUDE.md).
 
-Writes STACK_BENCH_r04.json:
+Writes STACK_BENCH_r05.json:
   - TPU parity: RVQ indices bit-equal, waveform relative error
   - p50 device ms (8 in-jit chained calls, tunnel dispatch amortized, same
     probe-forcing law as bench.py) for bf16 b32x3s and f32 b8x3s
@@ -91,21 +91,40 @@ def run_config(dtype_name, batch, length, n_iters):
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     out = {"config": f"{dtype_name} b{batch} x {length} samples"}
     full0, probe0, rep0, R, v0, x = build(dtype, batch, length, False)
-    full1, probe1, rep1, _, v1, _ = build(dtype, batch, length, True)
-    # parity first (same init key => identical params)
-    y0, i0 = full0(v0, x)
-    y1, i1 = full1(v1, x)
-    out["indices_bit_equal"] = bool(jnp.array_equal(i0, i1))
-    y0f, y1f = y0.astype(jnp.float32), y1.astype(jnp.float32)
-    out["wave_rel_err"] = float(
-        jnp.linalg.norm(y1f - y0f) / (jnp.linalg.norm(y0f) + 1e-30)
-    )
     out["p50_xla_ms"] = round(p50_ms(rep0, v0, x, n_iters, R), 2)
-    out["p50_pallas_ms"] = round(p50_ms(rep1, v1, x, n_iters, R), 2)
-    out["speedup"] = round(out["p50_xla_ms"] / out["p50_pallas_ms"], 3)
+    # The Pallas side compiles separately so a Mosaic rejection (the round-4
+    # failure mode) still yields a report with compile_ok=false instead of a
+    # dead bench and no artifact.
+    try:
+        full1, probe1, rep1, _, v1, _ = build(dtype, batch, length, True)
+        # parity first (same init key => identical params)
+        y0, i0 = full0(v0, x)
+        y1, i1 = full1(v1, x)
+        out["indices_bit_equal"] = bool(jnp.array_equal(i0, i1))
+        y0f, y1f = y0.astype(jnp.float32), y1.astype(jnp.float32)
+        out["wave_rel_err"] = float(
+            jnp.linalg.norm(y1f - y0f) / (jnp.linalg.norm(y0f) + 1e-30)
+        )
+        out["p50_pallas_ms"] = round(p50_ms(rep1, v1, x, n_iters, R), 2)
+        out["compile_ok"] = True
+        out["speedup"] = round(out["p50_xla_ms"] / out["p50_pallas_ms"], 3)
+    except Exception as e:  # Mosaic compile failure or runtime error
+        import traceback
+
+        traceback.print_exc()  # full detail to the phase log
+        out["compile_ok"] = False
+        msg = str(e)
+        # keep the informative tail too (the Mosaic message follows a long
+        # HTTP/compile-helper preamble that once swallowed the whole budget)
+        out["error"] = f"{type(e).__name__}: {msg[:800]}"
+        if len(msg) > 800:
+            out["error_tail"] = msg[-800:]
+        out["p50_pallas_ms"] = None
+        out["speedup"] = None
     sec = batch * length / 24000.0
     out["audio_s_per_s_xla"] = round(sec / (out["p50_xla_ms"] / 1e3), 1)
-    out["audio_s_per_s_pallas"] = round(sec / (out["p50_pallas_ms"] / 1e3), 1)
+    if out["compile_ok"]:
+        out["audio_s_per_s_pallas"] = round(sec / (out["p50_pallas_ms"] / 1e3), 1)
     print(json.dumps(out))
     return out
 
@@ -117,14 +136,23 @@ def main():
         run_config("bf16", 32, 72000, n_iters=10),
         run_config("f32", 8, 72000, n_iters=6),
     ]
+    # "win" is what bench.py's headline auto-select gates on: the kernel must
+    # COMPILE on real hardware, keep indices bit-exact, and beat XLA on the
+    # headline (bf16 b32) config by a margin that survives timing noise.
+    bf16 = rows[0]
     report = {
         "device": str(jax.devices()[0]),
         "kernel": "ops/stack_pallas.py fused_residual_stack",
         "rows": rows,
+        "win": bool(
+            bf16.get("compile_ok")
+            and bf16.get("indices_bit_equal")
+            and (bf16.get("speedup") or 0.0) > 1.05
+        ),
     }
-    with open("STACK_BENCH_r04.json", "w") as f:
+    with open("STACK_BENCH_r05.json", "w") as f:
         json.dump(report, f, indent=1)
-    print("wrote STACK_BENCH_r04.json")
+    print("wrote STACK_BENCH_r05.json")
 
 
 if __name__ == "__main__":

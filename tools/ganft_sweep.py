@@ -104,7 +104,7 @@ def _dataset():
     return q.build_dataset()
 
 
-def make_sweep_trainer(tag: str, smoke=False):
+def make_sweep_trainer(tag: str, smoke=False, seed: int = 0):
     from audio_generation_tpu.config import ExperimentConfig
     from audio_generation_tpu.models.discriminators import STFTDiscriminator
     from audio_generation_tpu.train.trainer import Trainer
@@ -119,6 +119,9 @@ def make_sweep_trainer(tag: str, smoke=False):
         spec["trainer_args"]["feature_multiplier"] = fm
     spec["trainer_args"]["save_every"] = 10**6  # tunnel saves cost minutes;
     # a 20-min probe never needs a mid-run checkpoint
+    spec["trainer_args"]["seed"] = seed  # varies shuffle order, crop
+    # positions, adversary init and discriminator sampling — the generator
+    # itself comes from the donor snapshot, identical across seeds
     if smoke:  # mirror quality_r04.make_trainer's CPU-smoke geometry so the
         # donor smoke snapshot (/tmp/r04_smoke) transplants cleanly
         spec["vae_args"]["first_block_channels"] = 8
@@ -127,7 +130,7 @@ def make_sweep_trainer(tag: str, smoke=False):
     root = "/tmp/ganft_sweep_smoke/" if smoke else "/tmp/ganft_sweep/"
     cfg = ExperimentConfig.from_dict(
         {
-            "experiment_name": f"ganft_{tag}",
+            "experiment_name": f"ganft_{tag}" + (f"_s{seed}" if seed else ""),
             "dataset": q.DATASET,
             "sample_rate": q.SR,
             "scratch_train": True,  # /tmp run dirs; donor seeds every start
@@ -148,10 +151,12 @@ def make_sweep_trainer(tag: str, smoke=False):
 
 def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
         out_tag: str | None = None, save_snapshot: bool = False,
-        donor: str | None = None):
+        donor: str | None = None, seed: int = 0):
     from audio_generation_tpu.evaluate import evaluate_codec
 
     out_tag = out_tag or tag
+    scratch = donor == "scratch"  # from-scratch arm: tuned adversarial
+    # recipe applied without a converged donor (VERDICT r4 task 5)
     donor = donor or q.GANFT_DONOR
     sweep_dir = "/tmp/ganft_sweep_smoke/out" if smoke else SWEEP_DIR
     os.makedirs(sweep_dir, exist_ok=True)
@@ -160,17 +165,23 @@ def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
         print(f"[{out_tag}] exists — skipping")
         return
 
-    trainer = make_sweep_trainer(tag, smoke)
-    donor_step = q.restore_trainer_from_snapshot(trainer, donor, smoke)
-    if donor_step == 0:
-        sys.exit(f"no donor snapshot {donor}")
+    trainer = make_sweep_trainer(tag, smoke, seed=seed)
+    if scratch:
+        donor_step = 0
+    else:
+        donor_step = q.restore_trainer_from_snapshot(trainer, donor, smoke)
+        if donor_step == 0:
+            sys.exit(f"no donor snapshot {donor}")
     waves = q.eval_batch(smoke=smoke)
 
     deadline = time.time() + minutes * 60
     losses: list = []
     t0 = time.time()
     while time.time() < deadline:
-        trainer.train(epochs=1, losses=losses)
+        # deadline also passed down: train() stops at mini-epoch granularity
+        # so budgeted arms stay wall-clock MATCHED (round-4's wavelet A/B
+        # overshot one arm by a full 20-min epoch without this)
+        trainer.train(epochs=1, losses=losses, deadline=deadline)
         print(f"[{tag}] step {int(trainer.state.step)} "
               f"({(deadline - time.time())/60:.0f} min left)", flush=True)
 
@@ -181,7 +192,8 @@ def run(tag: str, minutes: float = SWEEP_MINUTES, smoke=False,
         "lr": {"model": 2e-4, "discriminator": 2e-4},
         "adversary": ("none (no-GAN control)" if VARIANTS[tag] is None
                       else "stft_discriminator_1024 (single, full-size)"),
-        "donor": donor,
+        "donor": "scratch" if scratch else donor,
+        "seed": seed,
         "donor_step": donor_step,
         "steps": int(trainer.state.step),
         "train_minutes": (time.time() - t0) / 60.0,
@@ -277,6 +289,20 @@ if __name__ == "__main__":
         out_tag = (sys.argv[5] if len(sys.argv) > 5
                    else f"{tag}_ext{int(minutes)}")
         run(tag, minutes, out_tag=out_tag, save_snapshot=True, donor=snap)
+    elif cmd == "seedrun":  # seed replication of the GAN-vs-control claim
+        # (VERDICT r4 task 4): same donor, same duration, new trainer seed
+        # (shuffle/crops/adversary-init).  seedrun <tag> <seed> [minutes=35]
+        tag = sys.argv[2]
+        seed = int(sys.argv[3])
+        minutes = float(sys.argv[4]) if len(sys.argv) > 4 else 35.0
+        run(tag, minutes, out_tag=f"{tag}_s{seed}m{int(minutes)}", seed=seed)
+    elif cmd == "scratchrun":  # tuned recipe FROM SCRATCH at a budget
+        # (VERDICT r4 task 5): scratchrun <tag> <minutes> [out_tag]
+        tag = sys.argv[2]
+        minutes = float(sys.argv[3])
+        out_tag = (sys.argv[4] if len(sys.argv) > 4
+                   else f"scratch_{tag}_m{int(minutes)}")
+        run(tag, minutes, out_tag=out_tag, donor="scratch")
     elif cmd == "best":
         best()
     elif cmd == "smoke":  # CPU pipeline check (needs /tmp/r04_smoke donor:

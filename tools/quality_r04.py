@@ -581,6 +581,8 @@ def write_markdown():
                 if dn not in donors:
                     donors.append(dn)
             for dn in donors:
+                if dn == "scratch":  # from-scratch rows have no donor row
+                    continue
                 dp = os.path.join(OUT_DIR, f"{dn}.json")
                 d = (json.load(open(dp))["after"] if os.path.exists(dp)
                      else (sw.get("donor_after") or {}))
@@ -645,8 +647,14 @@ def write_markdown():
                 gans = [v for v in vs if v["feature_multiplier"] is not None]
                 if not ctrl or not gans:
                     continue
-                c = ctrl[0]["after"]
                 g = max(gans, key=lambda v: v["after"]["stoi_proxy"])
+                # seed-replication rows carry a 'seed': pair the control of
+                # the SAME seed when present (cross-seed pairing would mix
+                # shuffle streams; SEEDS_r05.json is the full paired table)
+                c_row = next((x for x in ctrl
+                              if x.get("seed", 0) == g.get("seed", 0)),
+                             ctrl[0])
+                c = c_row["after"]
                 ga = g["after"]
                 wins = [m for m, better in (
                     ("STOI*", ga["stoi_proxy"] > c["stoi_proxy"]),
@@ -657,7 +665,7 @@ def write_markdown():
                     f"- **{dn} @ ~{cum_minutes(g):.0f} fine-tune min "
                     "(cumulative)**: best GAN "
                     f"row `{g['tag']}` vs matched no-GAN control "
-                    f"`{ctrl[0]['tag']}` — STOI* {ga['stoi_proxy']:.3f} vs "
+                    f"`{c_row['tag']}` — STOI* {ga['stoi_proxy']:.3f} vs "
                     f"{c['stoi_proxy']:.3f}, mel {ga['mel_l1']:.3f} vs "
                     f"{c['mel_l1']:.3f}, MCD {ga['mcd_db']:.2f} vs "
                     f"{c['mcd_db']:.2f} → GAN ahead on: "

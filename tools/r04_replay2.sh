@@ -21,13 +21,15 @@ set -x
 cd "$(dirname "$0")/.."
 echo $$ > /tmp/r04_replay2.pid
 
-run_phase() {  # run_phase <timeout_s> <log> <cmd...>
+run_phase() {  # run_phase <timeout_s> <log> <cmd...> ; returns the phase rc
     local T="$1" LOG="$2"; shift 2
     timeout "$T" "$@" > "$LOG" 2>&1 &
     echo $! > /tmp/gan_run.pid
     ln -sf "$LOG" /tmp/gan_run.log
     wait $!
-    echo "phase '$3 $4 $5' exited $? at $(date)"
+    local rc=$?
+    echo "phase '$3 $4 $5' exited $rc at $(date)"
+    return $rc
 }
 
 commit_sweep() {
@@ -58,10 +60,13 @@ done
 commit_sweep "STACK_BENCH_r04: TPU A/B of the fused residual-stack Pallas kernel vs XLA"
 
 # --- 2. bench.py sanity (auto-selected headline path, cold cache) ---
+# marker only on success (ADVICE r4: an unconditional touch marked a failed
+# bench done and a watchdog relaunch would never retry it)
 if [ ! -f /tmp/r04_bench_sanity.done ]; then
-    run_phase 2400 /tmp/r04_bench_sanity.log python -u bench.py
-    tail -1 /tmp/r04_bench_sanity.log
-    touch /tmp/r04_bench_sanity.done
+    if run_phase 2400 /tmp/r04_bench_sanity.log python -u bench.py; then
+        tail -1 /tmp/r04_bench_sanity.log
+        touch /tmp/r04_bench_sanity.done
+    fi
 fi
 
 # --- 3. energy GAN branch +90 min (was mid-flight at the reset) ---
@@ -93,7 +98,10 @@ if [ ! -f QUALITY_r04/sweep/fm50_ext270.json ] && \
 fi
 
 # --- 6. conditional second energy extension (phase-floor escape gate) ---
-ENERGY_GO=$(python - <<'EOF'
+# local-JSON read only: skip the axon PJRT dial (PYTHONPATH=) and bound it,
+# defaulting to "no" on timeout (ADVICE r4: the undialed default PYTHONPATH
+# could block here forever, invisible to the watchdog)
+ENERGY_GO=$(PYTHONPATH= timeout 300 python - <<'EOF'
 import json
 try:
     after = json.load(open("QUALITY_r04/sweep/energy_fm50_ext90.json"))["after"]

@@ -74,14 +74,16 @@ def make_trainer(tag: str, smoke=False):
                    data_sample_rate=q.SR)
 
 
-def run(tag: str, minutes: float = 40.0, smoke=False):
+def run(tag: str, minutes: float = 40.0, smoke=False,
+        out_tag: str | None = None):
     from audio_generation_tpu.evaluate import evaluate_codec
 
+    out_tag = out_tag or tag
     out_dir = "/tmp/wavelet_ab_smoke/out" if smoke else OUT_DIR
     os.makedirs(out_dir, exist_ok=True)
-    out_p = os.path.join(out_dir, f"{tag}.json")
+    out_p = os.path.join(out_dir, f"{out_tag}.json")
     if os.path.exists(out_p):
-        print(f"[{tag}] exists — skipping")
+        print(f"[{out_tag}] exists — skipping")
         return
 
     trainer = make_trainer(tag, smoke)
@@ -91,7 +93,10 @@ def run(tag: str, minutes: float = 40.0, smoke=False):
     losses: list = []
     t0 = time.time()
     while time.time() < deadline:
-        trainer.train(epochs=1, losses=losses)
+        # deadline passed down: stop at mini-epoch granularity so arms stay
+        # wall-clock MATCHED (the round-4 "ups" arm overshot 40 -> 62 min on
+        # epoch-level checks + VM stalls; VERDICT r4 task 6)
+        trainer.train(epochs=1, losses=losses, deadline=deadline)
         print(f"[{tag}] step {int(trainer.state.step)} "
               f"({(deadline - time.time())/60:.0f} min left)", flush=True)
         if smoke:
@@ -99,7 +104,7 @@ def run(tag: str, minutes: float = 40.0, smoke=False):
 
     after = evaluate_codec(trainer.model, trainer._variables(), waves, q.SR)
     result = {
-        "tag": tag,
+        "tag": out_tag,
         "wavelet_decoders": (VARIANTS[tag] if VARIANTS[tag] is not None
                              else "default (False,True,False,False,False)"),
         "config": "rvq8_speech (from scratch, no GAN)",
@@ -114,8 +119,12 @@ def run(tag: str, minutes: float = 40.0, smoke=False):
 
 
 def report():
+    tags = list(VARIANTS)
+    if os.path.isdir(OUT_DIR):  # extras, e.g. the matched re-run arms
+        tags += sorted(f[:-5] for f in os.listdir(OUT_DIR)
+                       if f.endswith(".json") and f[:-5] not in VARIANTS)
     rows = []
-    for tag in VARIANTS:
+    for tag in tags:
         p = os.path.join(OUT_DIR, f"{tag}.json")
         if os.path.exists(p):
             rows.append(json.load(open(p)))
@@ -135,7 +144,8 @@ def report():
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "report"
     if cmd == "run":
-        run(sys.argv[2], float(sys.argv[3]) if len(sys.argv) > 3 else 40.0)
+        run(sys.argv[2], float(sys.argv[3]) if len(sys.argv) > 3 else 40.0,
+            out_tag=sys.argv[4] if len(sys.argv) > 4 else None)
     elif cmd == "smoke":
         run("wav", 0.02, smoke=True)
         run("ups", 0.02, smoke=True)
