@@ -149,6 +149,12 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
     i = pl.program_id(1)
     N = T + H
     acc_t = jnp.float32
+    # Repo dtype convention (CLAUDE.md): f32 ops run Precision.HIGHEST
+    # (bit-stable goldens), bf16 runs DEFAULT. Without this the kernel's f32
+    # dots lowered to fast low-precision MXU passes — round-5's first f32
+    # A/B showed wave_rel_err 3.4e-4 and a 1.78x "win" that was partly a
+    # silent precision downgrade vs the HIGHEST-precision XLA path.
+    prec = jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
 
     @pl.when(i == 0)
     def _():
@@ -175,10 +181,13 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
         for t in range(n_taps):
             lo = PAD - reach + t * stride
             acc = acc + jnp.dot(
-                src[lo : lo + N], wf[t], preferred_element_type=acc_t
+                src[lo : lo + N], wf[t], preferred_element_type=acc_t,
+                precision=prec,
             )
         a = _lrelu_mosaic(acc.astype(dtype) + b1[0], NEG_SLOPE)
-        r = jnp.dot(a, wp[:], preferred_element_type=acc_t).astype(dtype)
+        r = jnp.dot(
+            a, wp[:], preferred_element_type=acc_t, precision=prec
+        ).astype(dtype)
         h = _lrelu_mosaic(src[PAD : PAD + N] + (r + b2[0]), NEG_SLOPE)
         dst[PAD : PAD + N] = h
 
