@@ -132,8 +132,18 @@ def report():
         "claim": "reference networks/wavelets.py:286-307 — WaveletLayer "
                  "upsampling beats naive interpolation (plot-only). Here: "
                  "default one-wavelet-block decoder vs all learned-upsample "
-                 "decoders, from scratch at matched wall-clock on "
-                 "PseudoSpeech, held-out eval.",
+                 "decoders, from scratch on PseudoSpeech, held-out eval.",
+        "protocol_note": "round-4 arms were launched at equal 40-min "
+                         "budgets but the deadline was checked at EPOCH "
+                         "granularity, so the ups arm ran 61.9 min vs the "
+                         "wav arm's 41.9 (VM stall + long epochs) — the "
+                         "wavelet win on loss/mel/STOI* therefore holds "
+                         "a fortiori (it had 32% LESS wall-clock); MCD is "
+                         "the one metric the longer ups arm won. Arms "
+                         "tagged *_m42 are re-runs with the round-5 "
+                         "mini-epoch-granularity deadline "
+                         "(Trainer.train(deadline=...)), wall-clock "
+                         "matched to 41.9 min.",
         "variants": rows,
     }
     with open("WAVELET_AB_r04.json", "w") as f:
