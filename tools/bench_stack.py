@@ -132,10 +132,20 @@ def run_config(dtype_name, batch, length, n_iters):
 def main():
     import jax
 
-    rows = [
-        run_config("bf16", 32, 72000, n_iters=10),
-        run_config("f32", 8, 72000, n_iters=6),
-    ]
+    if os.environ.get("STACK_F32_ONLY"):
+        # re-measure ONLY the f32 row (e.g. after the in-kernel precision
+        # fix) and carry the committed bf16 row forward unchanged
+        prev = []
+        if os.path.exists("STACK_BENCH_r05.json"):
+            with open("STACK_BENCH_r05.json") as f:
+                prev = [r for r in json.load(f).get("rows", [])
+                        if r["config"].startswith("bf16")]
+        rows = prev + [run_config("f32", 8, 72000, n_iters=6)]
+    else:
+        rows = [
+            run_config("bf16", 32, 72000, n_iters=10),
+            run_config("f32", 8, 72000, n_iters=6),
+        ]
     # "win" is what bench.py's headline auto-select gates on: the kernel must
     # COMPILE on real hardware, keep indices bit-exact, and beat XLA on the
     # headline (bf16 b32) config by a margin that survives timing noise.
