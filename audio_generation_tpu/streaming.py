@@ -505,7 +505,12 @@ class StatefulStreamingCodec:
 
         # -------- quantizer (frame-local, eval semantics) ---------------- #
         q = m.quantizer
-        qstate = self.variables["codebook"]["state"]
+        # coerce to jax arrays: npz-restored codebooks arrive as numpy, and
+        # numpy fancy-indexing with a traced index array raises
+        # TracerArrayConversionError inside the jitted steps
+        qstate = jax.tree_util.tree_map(
+            jnp.asarray, self.variables["codebook"]["state"]
+        )
 
         energy_fn = None
         if m.bottleneck == "energy_rvq":
