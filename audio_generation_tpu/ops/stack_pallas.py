@@ -201,14 +201,18 @@ def _kernel(meta, H, PAD, T, lanes, dtype, n_stages, x_ref, *refs):
     out_ref[0] = src[PAD + H : PAD + N]
 
 
-def _pick_tile(lf: int, lanes: int) -> int:
+def _pick_tile(lf: int, lanes: int, dtype=None) -> int:
     # Tile budget: ins/outs are double-buffered, weights + two ping-pong
     # scratch buffers + the f32 accumulator temporaries all live in VMEM.
     # 4096*128 lane-elements (T=3600 at lanes=128) compiled standalone and
     # at b8, but the b32 model graph hit the 16 MiB scoped-vmem limit at
     # 19.38 MiB (XLA shares scoped vmem with neighbouring fusions) — halve
     # the budget; the kernel is HBM-bound, so smaller tiles keep the win.
-    cap = max(256, (2048 * 128) // lanes)
+    # f32 runs Precision.HIGHEST (repo policy), which Mosaic lowers to a
+    # multi-pass decomposition with ~5x the stack temporaries (measured:
+    # 36.2 MiB at T=2000) — shrink its budget a further ~2.7x.
+    budget = 768 if dtype == jnp.float32 else 2048
+    cap = max(256, (budget * 128) // lanes)
     if lf <= cap:
         return lf  # single tile: block == array is always Mosaic-legal
     # Mosaic requires ANY time-block smaller than the full array dim to be a
@@ -226,7 +230,7 @@ def _pick_tile(lf: int, lanes: int) -> int:
 def _forward(x, blocks, *, fold, dilations, tile=None, interpret=None):
     b, lf, lanes = x.shape
     arrays, meta, H, PAD = _stage_plan(blocks, fold, dilations, x.dtype)
-    T = _pick_tile(lf, lanes) if tile is None else min(tile, lf)
+    T = _pick_tile(lf, lanes, x.dtype) if tile is None else min(tile, lf)
     T = max(T, H)  # a tile must cover the stack history it carries forward
     if T < lf:  # Mosaic sublane law: a partial block must be 8-aligned
         T = min(-8 * (-T // 8), lf)
